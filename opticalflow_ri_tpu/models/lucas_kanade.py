@@ -1,24 +1,285 @@
-"""Dense windowed Lucas-Kanade optical flow, TPU-native (placeholder).
+"""Dense windowed Lucas-Kanade optical flow, TPU-native.
 
-Full implementation lands with the shift-plane gather-free formulation; see
-SURVEY.md section 2.2 item 1 (ref: src/denseLucasKanade_PyCL.py +
-src/pyrlkDenseLargeW.cl).
+Re-designs the reference's per-pixel OpenCL Gauss-Newton kernel
+(ref: src/pyrlkDenseLargeW.cl:304-669, host src/denseLucasKanade_PyCL.py)
+into a gather-free, fully vectorised TPU program.  The GPU kernel assigns one
+work-group per pixel and hardware-bilinear-samples a 27x27 (32x32-grid) window
+of J at the pixel's current flow estimate every iteration — ~1k texture reads
+per pixel per iteration.  TPUs have no texture units, and per-pixel dynamic
+gathers are the one thing the VPU hates, so we restructure the math instead:
+
+**Shift-plane decomposition.**  The Gauss-Newton residual sums
+    b1(p) = sum_off w(off) * [Jb(p + d(p) + off) - I(p + off)] * gx(p + off)
+split into an iteration-independent constant  C1 = wsum(I * gx)  and
+    S1(p) = sum_c w_c(p) * T1[s_c(p)](p),
+where the bilinear sample decomposes over its 4 integer corners c, and
+    T1_s(p) = sum_off w(off) * J[p + s + off] * gx(p + off)
+depends only on the *integer* shift s = floor(d) + corner.  All T1_s planes
+for s in [-R, R]^2 are precomputed once per compute() call as separable
+weighted window sums (cumsum differences — pure VPU streaming), and each GN
+iteration reduces to 8 plane gathers (4 corners x {gx, gy} stacks) plus
+elementwise algebra.  Work per iteration drops from O(H*W*win^2) texture reads
+to O(H*W) — the win^2 factor is paid once, reused across iterations and
+shared by all pixels.
+
+Parity notes (validated against oracle/lucas_kanade.py, which is validated
+against the CL semantics):
+  * CLAMP_TO_EDGE sampling == replicate padding; the sampler's -0.5 offset
+    cancels at the integer patch coordinates (ref: .cl:231,:273);
+  * Scharr-style gradients with weights 3/10/3 (ref: .cl:247-248);
+  * window weights follow the kernel's 32-grid tile rules incl. asymmetric
+    windows (ref: .cl:321-374);
+  * singular windows (det < 1.192092896e-7) keep the input flow and clear
+    status (ref: .cl:492-500);
+  * per-pixel early exit |delta| < 0.01 and window-out-of-image bail become
+    masks on a fixed trip count (ref: .cl:515-614);
+  * the x32.0f delta scale (ref: .cl:604).
+
+Divergence (documented): integer shifts are clamped to [-R, R-1]
+(max_shift=R, default 6); pixels whose |flow| exceeds R px mid-iteration — far
+beyond this library's <=4 px calibrated regime — would sample slightly
+differently from the reference.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opticalflow_ri_tpu.oracle.lucas_kanade import window_mask
+
+_GRID = 32
+_D_EPS = 1.192092896e-07
+_STEP_EPS = 0.01
+
+
+def _runs_from_mask(mask: np.ndarray):
+    """Decompose a static 0/1 weight vector into maximal runs of ones."""
+    runs = []
+    start = None
+    for idx, m in enumerate(mask.tolist() + [0.0]):
+        if m != 0.0 and start is None:
+            start = idx
+        elif m == 0.0 and start is not None:
+            runs.append((start, idx - 1))
+            start = None
+    return tuple(runs)
+
+
+def _windowed_sum_axis(x, runs, half_window, axis, out_len):
+    """sum_k mask[k] * x[p + k - half_window] along ``axis`` via cumulative-sum
+    differences per mask run.  ``x`` covers positions [-hw, out_len-1+GRID-1-hw]
+    relative to the output origin."""
+    cs = jnp.cumsum(x, axis=axis)
+    zero_shape = list(x.shape)
+    zero_shape[axis] = 1
+    cs = jnp.concatenate([jnp.zeros(zero_shape, x.dtype), cs], axis=axis)
+
+    def seg(lo, hi):
+        # sum over k in [lo, hi] -> cs[p + hi + 1] - cs[p + lo]
+        a = lax.slice_in_dim(cs, hi + 1, hi + 1 + out_len, axis=axis)
+        b = lax.slice_in_dim(cs, lo, lo + out_len, axis=axis)
+        return a - b
+
+    out = None
+    for lo, hi in runs:
+        term = seg(lo, hi)
+        out = term if out is None else out + term
+    return out
+
+
+def _wsum2d(x, runs_y, runs_x, hw, out_h, out_w):
+    """Separable masked window sum of ``x`` (covering the padded off-domain)
+    down to the (out_h, out_w) pixel grid."""
+    t = _windowed_sum_axis(x, runs_x, hw, x.ndim - 1, out_w)
+    return _windowed_sum_axis(t, runs_y, hw, x.ndim - 2, out_h)
+
+
+@partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift"))
+def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
+                   asym=(0, 0, 0, 0), max_shift: int = 6):
+    """Dense LK over a full image; returns (u, v, status)."""
+    im1 = im1.astype(jnp.float32)
+    im2 = im2.astype(jnp.float32)
+    u0 = u0.astype(jnp.float32)
+    v0 = v0.astype(jnp.float32)
+    h, w = im1.shape
+    hw = half_window
+    win = 2 * hw + 1
+    R = max_shift
+
+    wx = window_mask(win, asym[0], asym[1])
+    wy = window_mask(win, asym[2], asym[3])
+    runs_x = _runs_from_mask(wx)
+    runs_y = _runs_from_mask(wy)
+
+    # Padded domain: window offsets in [-hw, GRID-1-hw], shifts in [-R, R],
+    # all taps replicate-clamped.
+    pad = hw + (_GRID - hw) + R + 1
+    ipad = jnp.pad(im1, pad, mode="edge")
+    jpad = jnp.pad(im2, pad, mode="edge")
+
+    # Scharr-style gradients on the padded image (3/10/3 weights).
+    def grads(p):
+        c = p[1:-1, 1:-1]
+        gx = 3.0 * (p[:-2, 2:] + p[2:, 2:] - p[:-2, :-2] - p[2:, :-2]) + 10.0 * (
+            p[1:-1, 2:] - p[1:-1, :-2]
+        )
+        gy = 3.0 * (p[2:, :-2] + p[2:, 2:] - p[:-2, :-2] - p[:-2, 2:]) + 10.0 * (
+            p[2:, 1:-1] - p[:-2, 1:-1]
+        )
+        return c, gx, gy
+
+    _, gxp, gyp = grads(ipad)  # on domain [-(pad-1), ...]
+
+    # Core slices covering off in [-hw, GRID-1-hw] relative to each pixel.
+    core_h = h + _GRID - 1
+    core_w = w + _GRID - 1
+    o = pad - 1 - hw  # start of off=-hw in gradient-array coords
+    gx_core = lax.dynamic_slice(gxp, (o, o), (core_h, core_w))
+    gy_core = lax.dynamic_slice(gyp, (o, o), (core_h, core_w))
+    oi = pad - hw
+    i_core = lax.dynamic_slice(ipad, (oi, oi), (core_h, core_w))
+
+    def wsum(x):
+        return _wsum2d(x, runs_y, runs_x, hw, h, w)
+
+    # Structure tensor (weights are 0/1 so w == w^2).
+    a11 = wsum(gx_core * gx_core)
+    a12 = wsum(gx_core * gy_core)
+    a22 = wsum(gy_core * gy_core)
+    det = a11 * a22 - a12 * a12
+    ok = det >= jnp.float32(_D_EPS)
+    det_safe = jnp.where(ok, det, jnp.float32(1.0))
+    ia11 = a11 / det_safe
+    ia12 = a12 / det_safe
+    ia22 = a22 / det_safe
+
+    c1 = wsum(i_core * gx_core)
+    c2 = wsum(i_core * gy_core)
+
+    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
+    nshift = 2 * R + 1
+    shift_starts = jnp.array(
+        [(oi + sy, oi + sx) for sy in range(-R, R + 1) for sx in range(-R, R + 1)],
+        dtype=jnp.int32,
+    )
+
+    def build_plane(start):
+        js = lax.dynamic_slice(jpad, (start[0], start[1]), (core_h, core_w))
+        return wsum(js * gx_core), wsum(js * gy_core)
+
+    t1, t2 = jax.vmap(build_plane)(shift_starts)  # (nshift^2, H, W) each
+
+    jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    def gn_body(_, state):
+        # track the window origin (prevPt) exactly like the kernel so the
+        # f32 bail condition matches bit-for-bit (ref: .cl:505,:517)
+        px, py, active, status = state
+        oob = (px < -hw) | (px >= w) | (py < -hw) | (py >= h)
+        status = jnp.where(active & oob, 0.0, status)
+        active = active & ~oob
+
+        u = px + hw - jj
+        v = py + hw - ii
+        uc = jnp.clip(u, float(-R), R - 1e-3)
+        vc = jnp.clip(v, float(-R), R - 1e-3)
+        x0 = jnp.floor(uc)
+        y0 = jnp.floor(vc)
+        fx = uc - x0
+        fy = vc - y0
+        x0i = x0.astype(jnp.int32) + R
+        y0i = y0.astype(jnp.int32) + R
+
+        def corner(dy, dx, planes):
+            idx = (y0i + dy) * nshift + (x0i + dx)
+            return jnp.take_along_axis(planes, idx[None], axis=0)[0]
+
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+        s1 = (
+            w00 * corner(0, 0, t1) + w01 * corner(0, 1, t1)
+            + w10 * corner(1, 0, t1) + w11 * corner(1, 1, t1)
+        )
+        s2 = (
+            w00 * corner(0, 0, t2) + w01 * corner(0, 1, t2)
+            + w10 * corner(1, 0, t2) + w11 * corner(1, 1, t2)
+        )
+        b1 = s1 - c1
+        b2 = s2 - c2
+
+        dx = (ia12 * b2 - ia22 * b1) * 32.0
+        dy = (ia12 * b1 - ia11 * b2) * 32.0
+
+        fa = active.astype(jnp.float32)
+        px = px + dx * fa
+        py = py + dy * fa
+        small = (jnp.abs(dx) < _STEP_EPS) & (jnp.abs(dy) < _STEP_EPS)
+        active = active & ~small
+        return (px, py, active, status)
+
+    status0 = jnp.ones((h, w), jnp.float32)
+    px, py, _, status = lax.fori_loop(
+        0, n_iter, gn_body, (jj + u0 - hw, ii + v0 - hw, ok, status0)
+    )
+
+    u = jnp.where(ok, px + hw - jj, u0)
+    v = jnp.where(ok, py + hw - ii, v0)
+    status = jnp.where(ok, status, 0.0)
+    return u, v, status
+
+
+def evaluate_vorticity_asym(u, v, enable: bool):
+    """Vorticity-based asymmetric-window selection
+    (ref: src/denseLucasKanade_PyCL.py:75-92).  Host-side decision, like the
+    reference's pre-launch configuration."""
+    if not enable:
+        return (0, 0, 0, 0)
+    from opticalflow_ri_tpu.ops.stencil import correlate3x3
+
+    d = np.array([[0, -1, 0], [0, 0, 0], [0, 1, 0]], np.float32) * 0.5
+    # scipy 'reflect' == our 'symmetric' border
+    dv = correlate3x3(jnp.asarray(v, jnp.float32), d.T[::-1, ::-1].copy(), "symmetric")
+    du = correlate3x3(jnp.asarray(u, jnp.float32), d[::-1, ::-1].copy(), "symmetric")
+    omega = float(jnp.mean(dv - du))
+    if omega < -2e-3:
+        return (0, 1, 0, 1)
+    if omega > 2e-3:
+        return (1, 0, 0, 1)
+    return (0, 0, 0, 0)
+
 
 class DenseLucasKanadeAdapter:
+    """Driver adapter with the reference host API
+    (ref: src/denseLucasKanade_PyCL.py:33-182)."""
+
     def __init__(self, Niter: int = 5, halfWindow: int = 13,
                  provideGenericPyramidalDefaults: bool = True,
-                 enableVorticityEnhancement: bool = False):
-        self.Niter = Niter
-        self.halfWindow = halfWindow
+                 enableVorticityEnhancement: bool = False,
+                 max_shift: int = 6):
+        self.Niter = int(Niter)
+        self.halfWindow = int(halfWindow)
         self.provideGenericPyramidalDefaults = provideGenericPyramidalDefaults
         self.enableVorticityEnhancement = enableVorticityEnhancement
+        self.max_shift = int(max_shift)
 
     def compute(self, im1, im2, U, V):
-        raise NotImplementedError("dense LK lands in the next milestone")
+        asym = evaluate_vorticity_asym(U, V, self.enableVorticityEnhancement)
+        u, v, _ = lk_dense_solve(
+            jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(U), jnp.asarray(V),
+            half_window=self.halfWindow, n_iter=self.Niter, asym=asym,
+            max_shift=self.max_shift,
+        )
+        # The reference returns its calcErr flag as the "error" (level 0 -> True).
+        return u, v, True
 
     def getAlgoName(self):
         return "TPU Dense LK"

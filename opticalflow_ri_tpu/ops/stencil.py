@@ -101,6 +101,36 @@ def hs_derivatives(im1: jnp.ndarray, im2: jnp.ndarray):
     return fx, fy, ft
 
 
+def correlate1d(x: jnp.ndarray, kernel: np.ndarray, axis: int, mode: str) -> jnp.ndarray:
+    """1-D correlation along ``axis`` (one of the trailing two dims) with a
+    static kernel, as a shift-and-accumulate pass.  Matches
+    ``scipy.ndimage.correlate1d`` semantics (kernel centred at len//2)."""
+    kernel = np.asarray(kernel, dtype=np.float32)
+    n = kernel.shape[0]
+    centre = n // 2
+    axis = axis % x.ndim
+    assert axis >= x.ndim - 2
+    size = x.shape[axis]
+    if axis == x.ndim - 1:
+        pw = ((0, 0), (centre, n - 1 - centre))
+    else:
+        pw = ((centre, n - 1 - centre), (0, 0))
+    xp = pad2d(x, pw, mode)
+    out = None
+    for j in range(n):
+        w = float(kernel[j])
+        if w == 0.0:
+            continue
+        if axis == x.ndim - 1:
+            term = xp[..., :, j : j + size] * jnp.float32(w)
+        else:
+            term = xp[..., j : j + size, :] * jnp.float32(w)
+        out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros_like(x)
+    return out
+
+
 def separable_correlate(x: jnp.ndarray, kernel: np.ndarray, mode: str) -> jnp.ndarray:
     """Separable 1-D correlation along rows then columns of the trailing 2 dims.
 

@@ -1,0 +1,54 @@
+"""Calibrated config registry: every config runs end to end; LK/FB driver
+compositions match the oracle driver."""
+
+import numpy as np
+import pytest
+
+from opticalflow_ri_tpu.configs import CONFIGS, EXAMPLE_CONFIG_NAMES, run_config, hs_alphas
+from opticalflow_ri_tpu.oracle.pyramid import pyramidal_optical_flow as oracle_pyr
+from opticalflow_ri_tpu.oracle.lucas_kanade import OracleDenseLKAdapter
+from opticalflow_ri_tpu.oracle.farneback import OracleFarnebackAdapter
+from conftest import aee
+
+
+def test_hs_alpha_table():
+    assert hs_alphas(1) == [21]
+    assert hs_alphas(2) == [21, 45]
+    assert hs_alphas(2, k_levels=2) == [21, 21, 45, 45]
+    assert hs_alphas(1, bits="Bits12", ni="Ni16") == [550]
+
+
+def test_registry_complete():
+    for name in EXAMPLE_CONFIG_NAMES:
+        assert name in CONFIGS
+    assert len(CONFIGS) >= 17
+
+
+@pytest.mark.parametrize("name", EXAMPLE_CONFIG_NAMES)
+def test_example_configs_run(name, piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    u, v = run_config(name, im1, im2)
+    u = np.asarray(u)
+    v = np.asarray(v)
+    assert u.shape == im1.shape
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+    assert np.abs(u).max() < 50
+
+
+def test_lk_config_matches_oracle_driver(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    u, v = run_config("denseLK_Fs2_0_PyrLvls2", im1, im2)
+    ou, ov = oracle_pyr(
+        im1, im2, 2.0, OracleDenseLKAdapter(Niter=5, halfWindow=13),
+        pyramidal_levels=2, FILTER_OPT=0.48, warping=False,
+    )
+    assert aee(u, v, ou, ov) < 5e-2
+
+
+def test_fb_config_matches_oracle_driver(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    u, v = run_config("Farneback_Fs0_0_PyrLvls2", im1, im2)
+    ou, ov = oracle_pyr(
+        im1, im2, 0.0, OracleFarnebackAdapter(), pyramidal_levels=2,
+    )
+    assert aee(u, v, ou, ov) < 5e-3

@@ -1,0 +1,97 @@
+"""Dense LK parity: TPU shift-plane implementation vs the CL-faithful oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve, DenseLucasKanadeAdapter
+from opticalflow_ri_tpu.oracle.lucas_kanade import lk_dense, window_mask
+
+
+def _compare(u, v, ou, ov, frac=0.99, tol=1e-2):
+    """LK lets near-singular pixels take wild steps; compare the well-behaved
+    bulk (pixels where the oracle flow stays in the calibrated regime)."""
+    m = (np.abs(ou) < 5) & (np.abs(ov) < 5)
+    du = np.abs(np.asarray(u) - ou)[m]
+    dv = np.abs(np.asarray(v) - ov)[m]
+    assert m.mean() > 0.9
+    good = ((du < tol) & (dv < tol)).mean()
+    assert good > frac, f"only {good:.3f} of pixels within {tol}"
+
+
+def test_window_mask_default():
+    m = window_mask(27, 0, 0)
+    assert m[:27].sum() == 27 and m[27:].sum() == 0
+
+
+def test_window_mask_asym():
+    m = window_mask(27, 1, 0)
+    assert m[8] == 0 and m[0] == 1 and m[26] == 1
+    m = window_mask(27, 0, 1)
+    assert m[26] == 0 and m[25] == 1
+
+
+def test_lk_zero_flow_on_identical_images(piv_pair_small):
+    im1, _, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v, status = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im1), jnp.asarray(z), jnp.asarray(z))
+    # identical images: residual is zero, flow stays ~0 where A is invertible
+    m = np.asarray(status) > 0
+    assert m.mean() > 0.5
+    assert np.abs(np.asarray(u)[m]).max() < 1e-2
+    assert np.abs(np.asarray(v)[m]).max() < 1e-2
+
+
+def test_lk_matches_oracle_zero_init(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v, status = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z))
+    ou, ov, ostatus, _ = lk_dense(im1, im2, z, z, calc_err=False)
+    _compare(u, v, ou, ov)
+    # status may differ on isolated pixels where f32 summation-order noise
+    # crosses the bail thresholds
+    assert (np.asarray(status) != ostatus).mean() < 1e-3
+
+
+def test_lk_matches_oracle_nonzero_init(piv_pair_small):
+    im1, im2, u_true, v_true = piv_pair_small
+    u0 = (u_true * 0.7).astype(np.float32)
+    v0 = (v_true * 0.7).astype(np.float32)
+    u, v, _ = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(u0), jnp.asarray(v0))
+    ou, ov, _, _ = lk_dense(im1, im2, u0, v0, calc_err=False)
+    _compare(u, v, ou, ov)
+
+
+def test_lk_recovers_flow(piv_pair_small):
+    im1, im2, u_true, v_true = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v, _ = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z))
+    c = 16
+    err = np.mean(
+        np.hypot(
+            np.asarray(u)[c:-c, c:-c] - u_true[c:-c, c:-c],
+            np.asarray(v)[c:-c, c:-c] - v_true[c:-c, c:-c],
+        )
+    )
+    assert err < 0.5, err
+
+
+def test_lk_asymmetric_window(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v, _ = lk_dense_solve(
+        jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z), asym=(0, 1, 0, 1)
+    )
+    ou, ov, _, _ = lk_dense(im1, im2, z, z, asym=(0, 1, 0, 1), calc_err=False)
+    _compare(u, v, ou, ov)
+
+
+def test_adapter_protocol(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    ad = DenseLucasKanadeAdapter(Niter=3, halfWindow=13)
+    z = np.zeros_like(im1)
+    u, v, err = ad.compute(im1, im2, z, z)
+    assert err is True  # reference returns its calcErr flag
+    assert ad.getGenericPyramidalDefaults() == {
+        "warping": False, "intermediateScaling": True, "scaling": False,
+    }
+    assert np.asarray(u).shape == im1.shape
