@@ -1,0 +1,233 @@
+"""Spatially-sharded solvers: shard_map + halo exchange + psum reductions.
+
+Each solver here is numerically identical to its single-device counterpart in
+``models/`` — sharding tests assert the N-way-sharded run matches the
+1-device run — but executes SPMD over a ('batch', 'y', 'x') mesh:
+
+  * image tiles live on devices; every Jacobi/fixed-point iteration exchanges
+    a 1-px halo with its 4 neighbours over ICI (lax.ppermute);
+  * global scalars (Frobenius error norms, image maxima) are psum/pmax
+    collectives;
+  * whole image pairs batch over the 'batch' axis (pure data parallelism).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from opticalflow_ri_tpu.parallel.halo import exchange_halo
+from opticalflow_ri_tpu.models.horn_schunck import HS_AVG_KERNEL
+from opticalflow_ri_tpu.models import liu_shen as ls
+from opticalflow_ri_tpu.ops.stencil import correlate3x3_padded
+from opticalflow_ri_tpu.ops.gaussian import prepare_gaussian_kernel
+
+_SPATIAL = ("y", "x")
+
+
+def _hs_derivatives_local(im1, im2):
+    """HS 2x2 derivative stencils on local tiles: +1 halo bottom/right with
+    the global mirror rule (cf. ops.stencil.hs_derivatives)."""
+
+    def quads(im):
+        p = exchange_halo(im, ((0, 1), (0, 1)), "mirror")
+        h = im.shape[-2]
+        w = im.shape[-1]
+        return (
+            p[..., :h, :w], p[..., :h, 1 : w + 1],
+            p[..., 1 : h + 1, :w], p[..., 1 : h + 1, 1 : w + 1],
+        )
+
+    a1, b1, c1, d1 = quads(im1)
+    a2, b2, c2, d2 = quads(im2)
+    quarter = jnp.float32(0.25)
+    fx = (a1 - b1 + c1 - d1 + a2 - b2 + c2 - d2) * quarter
+    fy = (a1 + b1 - c1 - d1 + a2 + b2 - c2 - d2) * quarter
+    ft = (a1 + b1 + c1 + d1 - a2 - b2 - c2 - d2) * quarter
+    return fx, fy, ft
+
+
+def _corr3_sharded(z, kernel, mode):
+    zp = exchange_halo(z, 1, mode)
+    return correlate3x3_padded(zp, kernel, z.shape[-2], z.shape[-1])
+
+
+def _global_sum(z):
+    # sum over the spatial (trailing) dims only, then all-reduce over the
+    # spatial mesh axes — keeps per-batch-element scalars separate
+    return lax.psum(jnp.sum(z, axis=(-2, -1)), _SPATIAL)
+
+
+def _hs_body(im1, im2, u0, v0, *, alpha, niter):
+    fx, fy, ft = _hs_derivatives_local(im1, im2)
+    alpha = jnp.float32(alpha)
+    denom = alpha * alpha + fx * fx + fy * fy
+
+    def body(_, uv):
+        u, v = uv
+        u_avg = _corr3_sharded(u, HS_AVG_KERNEL, "mirror")
+        v_avg = _corr3_sharded(v, HS_AVG_KERNEL, "mirror")
+        der = (fx * u_avg + fy * v_avg + ft) / denom
+        return (u_avg - fx * der, v_avg - fy * der)
+
+    u, v = lax.fori_loop(0, niter, body, (u0, v0))
+
+    npix = _global_sum(jnp.ones_like(u))
+    err = (
+        jnp.sqrt(_global_sum((u - u0) ** 2)) + jnp.sqrt(_global_sum((v - v0) ** 2))
+    ) / npix
+    return u, v, err
+
+
+def hs_solve_sharded(mesh, im1, im2, alpha, niter, u0, v0):
+    """Spatially-sharded Horn-Schunck; same numerics as models.horn_schunck.
+    Arrays are (H, W), sharded over ('y', 'x')."""
+    spec = P("y", "x")
+
+    @partial(jax.jit, static_argnames=("niter",))
+    def run(im1, im2, u0, v0, niter):
+        f = shard_map(
+            partial(_hs_body, niter=niter, alpha=alpha),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, P()),
+            check_vma=False,
+        )
+        return f(
+            im1.astype(jnp.float32), im2.astype(jnp.float32),
+            u0.astype(jnp.float32), v0.astype(jnp.float32),
+        )
+
+    return run(im1, im2, u0, v0, niter)
+
+
+# ---------------------------------------------------------------------------
+# Liu-Shen
+# ---------------------------------------------------------------------------
+
+def _ls_body(im1, im2, u0, v0, *, h_reg, max_iter, tol=1e-8):
+    im1 = im1 / lax.pmax(jnp.max(im1), _SPATIAL)
+    im2 = im2 / lax.pmax(jnp.max(im2), _SPATIAL)
+    h_reg = jnp.float32(h_reg)
+
+    c = _corr3_sharded
+    iix = im1 * c(im1, ls._K_D1, "nearest")
+    iiy = im1 * c(im1, ls._K_D2, "nearest")
+    ii = im1 * im1
+    dt = im2 - im1
+    ixt = im1 * c(dt, ls._K_D1, "nearest")
+    iyt = im1 * c(dt, ls._K_D2, "nearest")
+
+    cmtx = c(jnp.ones_like(im1), ls._K_H, "constant")
+    a11 = im1 * (c(im1, ls._K_D2ND, "nearest") - 2.0 * im1) - h_reg * cmtx
+    a22 = im1 * (c(im1, ls._K_D2ND.T, "nearest") - 2.0 * im1) - h_reg * cmtx
+    a12 = im1 * c(im1, ls._K_M, "nearest")
+    det = a11 * a22 - a12 * a12
+    b11, b12, b22 = a22 / det, -a12 / det, a11 / det
+
+    npix = _global_sum(jnp.ones_like(im1))
+
+    def iteration(u, v):
+        bu = (
+            2.0 * iix * c(u, ls._K_D1, "nearest") + iix * c(v, ls._K_D2, "nearest")
+            + iiy * c(v, ls._K_D1, "nearest") + ii * c(u, ls._K_F1, "nearest")
+            + ii * c(v, ls._K_M, "nearest") + h_reg * c(u, ls._K_H, "constant") + ixt
+        )
+        bv = (
+            iiy * c(u, ls._K_D1, "nearest") + iix * c(u, ls._K_D2, "nearest")
+            + 2.0 * iiy * c(v, ls._K_D2, "nearest") + ii * c(u, ls._K_M, "nearest")
+            + ii * c(v, ls._K_F2, "nearest") + h_reg * c(v, ls._K_H, "constant") + iyt
+        )
+        return -(b11 * bu + b12 * bv), -(b12 * bu + b22 * bv)
+
+    def cond(state):
+        _, _, err, k = state
+        return jnp.logical_and(err > tol, k < max_iter)
+
+    def body(state):
+        u, v, _, k = state
+        un, vn = iteration(u, v)
+        err = (
+            jnp.sqrt(_global_sum((un - u) ** 2)) + jnp.sqrt(_global_sum((vn - v) ** 2))
+        ) / npix
+        return (un, vn, err, k + 1)
+
+    u, v, err, k = lax.while_loop(cond, body, (u0, v0, jnp.float32(1e8), 0))
+    return u, v, jnp.where(k > 0, err, 0.0)
+
+
+def liu_shen_solve_sharded(mesh, im1, im2, h_reg, u0, v0, max_iter=60):
+    """Spatially-sharded Liu-Shen fixed-point solve (internal component
+    convention; see models.liu_shen adapter for the swap)."""
+    spec = P("y", "x")
+
+    @partial(jax.jit, static_argnames=("max_iter",))
+    def run(im1, im2, u0, v0, max_iter):
+        f = shard_map(
+            partial(_ls_body, h_reg=h_reg, max_iter=max_iter),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, P()),
+            check_vma=False,
+        )
+        return f(
+            im1.astype(jnp.float32), im2.astype(jnp.float32),
+            u0.astype(jnp.float32), v0.astype(jnp.float32),
+        )
+
+    return run(im1, im2, u0, v0, max_iter)
+
+
+# ---------------------------------------------------------------------------
+# Batched end-to-end pipeline (dp over 'batch' + 2-D spatial decomposition)
+# ---------------------------------------------------------------------------
+
+def _prefilter_local(im, sigma, ksize):
+    kernel = prepare_gaussian_kernel(sigma, ksize)
+    half = ksize // 2
+    p = exchange_halo(im, ((0, 0), (half, half)), "symmetric")
+    w = im.shape[-1]
+    out = None
+    for j in range(ksize):
+        t = p[..., :, j : j + w] * jnp.float32(kernel[j])
+        out = t if out is None else out + t
+    p = exchange_halo(out, ((half, half), (0, 0)), "symmetric")
+    h = im.shape[-2]
+    out2 = None
+    for i in range(ksize):
+        t = p[..., i : i + h, :] * jnp.float32(kernel[i])
+        out2 = t if out2 is None else out2 + t
+    return out2
+
+
+def batched_hs_pipeline(mesh, im1, im2, alpha=21.0, niter=10, filter_sigma=3.4):
+    """One full flow-computation step on a batch of image pairs: calibrated
+    pre-filter + HS derivatives + Jacobi iterations + global error, SPMD over
+    ('batch', 'y', 'x').  This is the flagship multi-chip step."""
+    spec = P("batch", "y", "x")
+
+    def step(im1, im2):
+        im1 = im1.astype(jnp.float32)
+        im2 = im2.astype(jnp.float32)
+        if filter_sigma > 1e-3:
+            im1 = _prefilter_local(im1, filter_sigma, 3)
+            im2 = _prefilter_local(im2, filter_sigma, 3)
+        z = jnp.zeros_like(im1)
+        return _hs_body(im1, im2, z, z, alpha=alpha, niter=niter)
+
+    @jax.jit
+    def run(im1, im2):
+        f = shard_map(
+            step, mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, spec, P("batch")),
+            check_vma=False,
+        )
+        return f(im1, im2)
+
+    return run(im1, im2)

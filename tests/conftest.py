@@ -7,14 +7,19 @@ benchmark/driver paths run on real TPU outside pytest.
 
 import os
 
-# The harness pre-sets JAX_PLATFORMS to the TPU tunnel; tests run on the CPU
-# backend (override with OFRI_TEST_PLATFORM=axon to smoke-test on device).
-os.environ["JAX_PLATFORMS"] = os.environ.get("OFRI_TEST_PLATFORM", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The harness pre-sets JAX_PLATFORMS to the TPU tunnel, and the axon
+# sitecustomize force-sets jax_platforms="axon,cpu" via jax.config — env vars
+# alone do NOT stick.  Re-override through jax.config before any backend
+# initialisation so tests run on an 8-virtual-device CPU platform
+# (override with OFRI_TEST_PLATFORM=axon to smoke-test on the real chip).
+platform = os.environ.get("OFRI_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = platform
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", platform)
+if platform == "cpu":
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
