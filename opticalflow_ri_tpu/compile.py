@@ -1,0 +1,50 @@
+"""Whole-pipeline compilation: one XLA program per (config, image shape).
+
+The reference executes its pipeline as dozens of host-orchestrated stages with
+full host<->device copies around each (SURVEY.md section 3.5); the staged
+driver in ``pyramid.py`` already keeps data on device, but still pays a
+dispatch + (on a tunneled TPU) RPC round trip per stage.  This module traces
+an entire calibrated configuration — pyramid levels, filters, warps, solver
+iterations, optional refiner — into a single jitted program, so running a pair
+is ONE dispatch.  Adapter statefulness (the HS alpha list) resolves at trace
+time, exactly like the reference resolves it at run time.
+
+    fn = compiled_pipeline("PyHSchunck_Fs3_4")
+    U, V = fn(im1, im2)                      # one XLA execution
+
+Batched throughput uses ``batched_pipeline`` (vmap over image pairs — the
+data-parallel axis that keeps the VPU fed at PIV image sizes).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+
+from opticalflow_ri_tpu.configs import build_config
+
+
+def pipeline_fn(name: str):
+    """A pure (im1, im2) -> (U, V) function for a named calibrated config.
+    Fresh adapters are constructed per trace, so stateful calibration lists
+    reset correctly."""
+    cfg = build_config(name)
+
+    def fn(im1, im2):
+        return cfg.run(im1, im2)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def compiled_pipeline(name: str):
+    """Jitted whole-config pipeline (cached per config name; XLA caches per
+    input shape)."""
+    return jax.jit(pipeline_fn(name))
+
+
+@lru_cache(maxsize=None)
+def batched_pipeline(name: str):
+    """Jitted vmapped pipeline over a leading batch axis of image pairs."""
+    return jax.jit(jax.vmap(pipeline_fn(name)))

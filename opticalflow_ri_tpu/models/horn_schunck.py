@@ -98,7 +98,7 @@ class HSOpticalFlowAlgoAdapter:
             jnp.asarray(im1), jnp.asarray(im2), float(alpha), self.Niter,
             jnp.asarray(U), jnp.asarray(V),
         )
-        return u, v, float(err)
+        return u, v, err
 
     def getAlgoName(self):
         return "Horn-Schunck"

@@ -138,7 +138,7 @@ class LiuShenOpticalFlowAlgoAdapter:
             jnp.asarray(im1), jnp.asarray(im2), float(self.alpha),
             jnp.asarray(V), jnp.asarray(U),
         )
-        return [ru, rv, float(err)]
+        return [ru, rv, err]
 
     def getAlgoName(self):
         return "Liu-Shen Physics based OF"
