@@ -162,18 +162,24 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     c1 = wsum(i_core * gx_core)
     c2 = wsum(i_core * gy_core)
 
-    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
+    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, laid out
+    # shift-minor (H, W, nshift^2) so the per-iteration reduction runs over
+    # VPU lanes.
     nshift = 2 * R + 1
-    shift_starts = jnp.array(
-        [(oi + sy, oi + sx) for sy in range(-R, R + 1) for sx in range(-R, R + 1)],
-        dtype=jnp.int32,
-    )
+    t1_list = []
+    t2_list = []
+    for sy in range(-R, R + 1):
+        for sx in range(-R, R + 1):
+            js = jpad[oi + sy : oi + sy + core_h, oi + sx : oi + sx + core_w]
+            t1_list.append(wsum(js * gx_core))
+            t2_list.append(wsum(js * gy_core))
+    t1 = jnp.stack(t1_list, axis=-1)  # (H, W, nshift^2)
+    t2 = jnp.stack(t2_list, axis=-1)
 
-    def build_plane(start):
-        js = lax.dynamic_slice(jpad, (start[0], start[1]), (core_h, core_w))
-        return wsum(js * gx_core), wsum(js * gy_core)
-
-    t1, t2 = jax.vmap(build_plane)(shift_starts)  # (nshift^2, H, W) each
+    # static per-lane shift coordinates
+    s_lin = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nshift * nshift), 2)
+    s_y = jnp.floor(s_lin / nshift) - R
+    s_x = jnp.mod(s_lin, nshift) - R
 
     jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -190,29 +196,17 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
         v = py + hw - ii
         uc = jnp.clip(u, float(-R), R - 1e-3)
         vc = jnp.clip(v, float(-R), R - 1e-3)
-        x0 = jnp.floor(uc)
-        y0 = jnp.floor(vc)
-        fx = uc - x0
-        fy = vc - y0
-        x0i = x0.astype(jnp.int32) + R
-        y0i = y0.astype(jnp.int32) + R
-
-        def corner(dy, dx, planes):
-            idx = (y0i + dy) * nshift + (x0i + dx)
-            return jnp.take_along_axis(planes, idx[None], axis=0)[0]
-
-        w00 = (1 - fy) * (1 - fx)
-        w01 = (1 - fy) * fx
-        w10 = fy * (1 - fx)
-        w11 = fy * fx
-        s1 = (
-            w00 * corner(0, 0, t1) + w01 * corner(0, 1, t1)
-            + w10 * corner(1, 0, t1) + w11 * corner(1, 1, t1)
+        # Bilinear corner blend expressed as a dense tent-weight contraction
+        # over the shift lane axis: tent(uc - s_x) * tent(vc - s_y) is exactly
+        # (1-fx)/fx x (1-fy)/fy on the 4 enclosing shifts and 0 elsewhere.
+        # This trades 8 per-pixel gathers (slow on TPU) for a fused VPU
+        # multiply-reduce over nshift^2 lanes.
+        wlane = (
+            jnp.maximum(0.0, 1.0 - jnp.abs(uc[..., None] - s_x))
+            * jnp.maximum(0.0, 1.0 - jnp.abs(vc[..., None] - s_y))
         )
-        s2 = (
-            w00 * corner(0, 0, t2) + w01 * corner(0, 1, t2)
-            + w10 * corner(1, 0, t2) + w11 * corner(1, 1, t2)
-        )
+        s1 = jnp.sum(t1 * wlane, axis=-1)
+        s2 = jnp.sum(t2 * wlane, axis=-1)
         b1 = s1 - c1
         b2 = s2 - c2
 

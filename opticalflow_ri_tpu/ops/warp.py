@@ -64,10 +64,42 @@ def bilinear_warp_rounded(img: jnp.ndarray, coords_y: jnp.ndarray, coords_x: jnp
     ).astype(jnp.float32)
 
 
-def symmetric_warp_pair(im1: jnp.ndarray, im2: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+def displacement_warp_tent(img: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
+                           max_shift: int = 8) -> jnp.ndarray:
+    """Bilinear warp by a per-pixel displacement field, as a dense tent-weight
+    contraction over static integer shifts (no gathers).
+
+    The reference's round-to-nearest + signed-neighbour scheme is numerically
+    identical to standard bilinear interpolation (both are the piecewise-linear
+    interpolant; per-tap index clamping == edge padding), so weight(s) =
+    max(0, 1-|d-s|) per axis reproduces it exactly for |d| <= max_shift.
+    Displacements beyond that (outside the <=4 px calibrated regime) sample
+    clamped; use ``bilinear_warp_rounded`` for the unbounded gather path.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    R = int(max_shift)
+    dyc = jnp.clip(dy, -R, R - 1e-3)
+    dxc = jnp.clip(dx, -R, R - 1e-3)
+    pad_w = [(0, 0)] * (img.ndim - 2) + [(R, R + 1), (R, R + 1)]
+    p = jnp.pad(img, pad_w, mode="edge")
+    out = jnp.zeros_like(img)
+    for sy in range(-R, R + 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - sy))
+        for sx in range(-R, R + 1):
+            wt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dxc - sx))
+            out = out + wt * p[..., R + sy : R + sy + h, R + sx : R + sx + w]
+    return out
+
+
+def symmetric_warp_pair(im1: jnp.ndarray, im2: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                        max_shift: int | None = 8):
     """Symmetric half-displacement warp of an image pair: im1 backwards by
     (u/2, v/2), im2 forwards — the driver's warping step
     (ref: src/GenericPyramidalOpticalFlow.py:198-201)."""
+    if max_shift is not None:
+        w1 = displacement_warp_tent(im1, -v / 2.0, -u / 2.0, max_shift)
+        w2 = displacement_warp_tent(im2, v / 2.0, u / 2.0, max_shift)
+        return w1, w2
     h, w = im1.shape[-2], im1.shape[-1]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
