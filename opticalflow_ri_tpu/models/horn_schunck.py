@@ -43,12 +43,37 @@ HS_AVG_KERNEL = np.array(
 )
 
 
-@partial(jax.jit, static_argnames=("niter",))
-def hs_solve(im1, im2, alpha, niter: int, u0, v0):
+def _pick_impl(shape) -> str:
+    """Use the Pallas fused kernel on TPU for cleanly-tiled shapes, the XLA
+    loop elsewhere (CPU tests, odd shapes, batched/vmapped calls).
+
+    Pallas is currently opt-in via OFRI_ENABLE_PALLAS=1: Mosaic compilation
+    through the axon tunnel has been observed to hang, and the XLA loop is
+    already VMEM-resident-fast on this problem size.
+    """
+    import os
+
+    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
+        return "xla"
+    from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend == "cpu":
+        return "xla"
+    return "pallas" if hs_supports_pallas(shape) else "xla"
+
+
+@partial(jax.jit, static_argnames=("niter", "impl"))
+def hs_solve(im1, im2, alpha, niter: int, u0, v0, impl: str = "xla"):
     """Run ``niter`` Jacobi iterations; returns (U, V, error).
 
     ``im1``/``im2`` are frames at t=0/t=1 (driver order); the temporal
     derivative sign convention matches the reference's effective computation.
+    ``impl``: "xla" (fused fori_loop) or "pallas" (whole-state VMEM-resident
+    kernel, TPU only).
     """
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
@@ -57,16 +82,22 @@ def hs_solve(im1, im2, alpha, niter: int, u0, v0):
     alpha = jnp.float32(alpha)
 
     fx, fy, ft = hs_derivatives(im1, im2)
-    denom = alpha * alpha + fx * fx + fy * fy
 
-    def body(_, uv):
-        u, v = uv
-        u_avg = correlate3x3(u, HS_AVG_KERNEL, "mirror")
-        v_avg = correlate3x3(v, HS_AVG_KERNEL, "mirror")
-        der = (fx * u_avg + fy * v_avg + ft) / denom
-        return (u_avg - fx * der, v_avg - fy * der)
+    if impl == "pallas":
+        from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_iterate_pallas
 
-    u, v = lax.fori_loop(0, niter, body, (u0, v0))
+        u, v = hs_iterate_pallas(fx, fy, ft, u0, v0, alpha, niter)
+    else:
+        denom = alpha * alpha + fx * fx + fy * fy
+
+        def body(_, uv):
+            u, v = uv
+            u_avg = correlate3x3(u, HS_AVG_KERNEL, "mirror")
+            v_avg = correlate3x3(v, HS_AVG_KERNEL, "mirror")
+            der = (fx * u_avg + fy * v_avg + ft) / denom
+            return (u_avg - fx * der, v_avg - fy * der)
+
+        u, v = lax.fori_loop(0, niter, body, (u0, v0))
 
     npix = im1.shape[-2] * im1.shape[-1]
     err = (
@@ -87,16 +118,20 @@ def hs_iteration_stencil(u, v, fx, fy, ft, denom):
 class HSOpticalFlowAlgoAdapter:
     """Driver adapter with reference-identical protocol and alpha-list state."""
 
-    def __init__(self, alphas, Niter: int, provideGenericPyramidalDefaults: bool = True):
+    def __init__(self, alphas, Niter: int, provideGenericPyramidalDefaults: bool = True,
+                 impl: str = "auto"):
         self.provideGenericPyramidalDefaults = provideGenericPyramidalDefaults
         self.alphas = list(alphas)
         self.Niter = int(Niter)
+        self.impl = impl
 
     def compute(self, im1, im2, U, V):
         alpha = self.alphas.pop()
+        im1 = jnp.asarray(im1)
+        impl = _pick_impl(im1.shape) if self.impl == "auto" else self.impl
         u, v, err = hs_solve(
-            jnp.asarray(im1), jnp.asarray(im2), float(alpha), self.Niter,
-            jnp.asarray(U), jnp.asarray(V),
+            im1, jnp.asarray(im2), float(alpha), self.Niter,
+            jnp.asarray(U), jnp.asarray(V), impl=impl,
         )
         return u, v, err
 
