@@ -1,0 +1,152 @@
+"""Production streaming runner: datasets of image pairs through a compiled
+pipeline, with prefetching, checkpoint/resume, failure isolation and
+profiling.
+
+The reference processes one pair per script run with no recovery story
+(SURVEY.md section 5); this runner is the serving-scale counterpart:
+
+  * pairs stream through ``compile.batched_pipeline`` (one XLA dispatch per
+    batch), with the next batch decoded on host threads (native C++ TIFF
+    runtime when available) while the TPU computes;
+  * a JSON checkpoint records completed pairs; re-running with the same
+    output directory resumes where it stopped;
+  * per-batch failures are caught, logged and skipped — one corrupt frame
+    cannot kill a long campaign;
+  * ``profile_dir`` captures a jax.profiler trace of the steady state for
+    xprof analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from queue import Queue
+
+import numpy as np
+
+log = logging.getLogger("opticalflow_ri_tpu")
+
+
+class FlowBatchRunner:
+    def __init__(self, config_name: str, batch_size: int = 4,
+                 output_dir: str = "flow_out", save_outputs: bool = True,
+                 checkpoint_every: int = 1, profile_dir: str | None = None):
+        self.config_name = config_name
+        self.batch_size = int(batch_size)
+        self.output_dir = output_dir
+        self.save_outputs = save_outputs
+        self.checkpoint_every = checkpoint_every
+        self.profile_dir = profile_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self._ckpt_path = os.path.join(output_dir, "progress.json")
+
+    # -- checkpointing ------------------------------------------------------
+
+    def _load_checkpoint(self) -> dict:
+        if os.path.exists(self._ckpt_path):
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        return {"config": self.config_name, "done": [], "failed": []}
+
+    def _save_checkpoint(self, state: dict) -> None:
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt_path)
+
+    # -- pipeline -----------------------------------------------------------
+
+    def run(self, pairs) -> dict:
+        """``pairs``: list of (name, im1_path, im2_path).  Returns the final
+        checkpoint state (with per-pair timing stats added)."""
+        import jax
+        import jax.numpy as jnp
+        from opticalflow_ri_tpu.compile import batched_pipeline
+        from opticalflow_ri_tpu.utils.io import load_image_batch, save_flow
+
+        state = self._load_checkpoint()
+        if state.get("config") != self.config_name:
+            raise ValueError(
+                f"checkpoint in {self.output_dir} belongs to config "
+                f"{state.get('config')!r}, not {self.config_name!r}"
+            )
+        done = set(state["done"])
+        todo = [p for p in pairs if p[0] not in done]
+        if not todo:
+            return state
+
+        fn = batched_pipeline(self.config_name)
+
+        # host-side prefetch thread: decode the next batch while TPU computes
+        batches = [todo[i : i + self.batch_size]
+                   for i in range(0, len(todo), self.batch_size)]
+        queue: Queue = Queue(maxsize=2)
+
+        def producer():
+            for chunk in batches:
+                names = [c[0] for c in chunk]
+                try:
+                    im1 = load_image_batch([c[1] for c in chunk])
+                    im2 = load_image_batch([c[2] for c in chunk])
+                    queue.put((names, im1, im2))
+                except Exception as e:  # pragma: no cover - IO failure path
+                    queue.put((names, e, None))
+            queue.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        profiling = False
+        n_batches = 0
+        t_total = 0.0
+        while True:
+            item = queue.get()
+            if item is None:
+                break
+            names, im1, im2 = item
+            if isinstance(im1, Exception):
+                log.error("load failed for %s: %r", names, im1)
+                state["failed"].extend(names)
+                continue
+
+            # ragged tail: pad the batch to the compiled batch size
+            n_real = im1.shape[0]
+            if n_real < self.batch_size:
+                pad = self.batch_size - n_real
+                im1 = np.concatenate([im1, np.repeat(im1[-1:], pad, 0)])
+                im2 = np.concatenate([im2, np.repeat(im2[-1:], pad, 0)])
+
+            if self.profile_dir and n_batches == 1 and not profiling:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
+
+            try:
+                t0 = time.perf_counter()
+                u, v = fn(jnp.asarray(im1), jnp.asarray(im2))
+                float(jnp.sum(u))  # force completion
+                t_total += time.perf_counter() - t0
+                n_batches += 1
+            except Exception as e:
+                log.error("compute failed for %s: %r", names, e)
+                state["failed"].extend(names)
+                continue
+
+            if self.save_outputs:
+                un = np.asarray(u)
+                vn = np.asarray(v)
+                for i, name in enumerate(names):
+                    save_flow(un[i], vn[i],
+                              os.path.join(self.output_dir, f"{name}.mat"))
+            state["done"].extend(names)
+            if n_batches % self.checkpoint_every == 0:
+                self._save_checkpoint(state)
+
+        if profiling:
+            jax.profiler.stop_trace()
+        state["batches"] = n_batches
+        if n_batches:
+            state["seconds_per_batch"] = t_total / n_batches
+        self._save_checkpoint(state)
+        return state

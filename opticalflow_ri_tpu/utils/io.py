@@ -13,10 +13,32 @@ import numpy as np
 
 def load_image(path) -> np.ndarray:
     """Load a grayscale image (TIFF etc.) as float32, like the reference's
-    ``skimage.io.imread(...).astype(np.float32)``."""
+    ``skimage.io.imread(...).astype(np.float32)``.
+
+    Uncompressed grayscale TIFFs decode through the native C++ runtime
+    (utils/native) when available; anything else falls back to PIL with
+    identical pixel values."""
+    if str(path).lower().endswith((".tif", ".tiff")):
+        from opticalflow_ri_tpu.utils import native
+
+        arr = native.tiff_read(str(path)) if native.available() else None
+        if arr is not None:
+            return arr
     from PIL import Image
 
     return np.asarray(Image.open(path), dtype=np.float32)
+
+
+def load_image_batch(paths) -> np.ndarray:
+    """Threaded batch decode of equally-sized frames into one (N, H, W)
+    float32 array (native C++ fast path, PIL fallback)."""
+    from opticalflow_ri_tpu.utils import native
+
+    if native.available():
+        arr = native.tiff_read_batch([str(p) for p in paths])
+        if arr is not None:
+            return arr
+    return np.stack([load_image(p) for p in paths])
 
 
 def save_flow(U, V, filename) -> None:
