@@ -98,16 +98,27 @@ def liu_shen_iteration(u, v, fields, h):
     return u_new, v_new
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
-def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8):
+@partial(jax.jit, static_argnames=("max_iter", "impl"))
+def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8,
+                   impl: str = "xla"):
     """Run the Liu-Shen fixed-point solve.  Component convention matches the
-    reference's internal one (u along rows); see the adapter for the swap."""
+    reference's internal one (u along rows); see the adapter for the swap.
+    ``impl="pallas"`` uses the fused VMEM-resident kernel (TPU only)."""
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     im1 = im1 / jnp.max(im1)
     im2 = im2 / jnp.max(im2)
 
     fields = liu_shen_precompute(im1, im2, h)
+
+    if impl == "pallas":
+        from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import liu_shen_iterate_pallas
+
+        return liu_shen_iterate_pallas(
+            h, fields, u0.astype(jnp.float32), v0.astype(jnp.float32),
+            max_iter=max_iter, tol=tol,
+        )
+
     npix = jnp.float32(im1.shape[-2] * im1.shape[-1])
 
     def cond(state):

@@ -32,6 +32,27 @@ def test_hs_pallas_kernel_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=1e-5, atol=1e-5)
 
 
+def test_liu_shen_pallas_kernel_matches_xla_interpret():
+    from opticalflow_ri_tpu.models.liu_shen import liu_shen_solve, liu_shen_precompute
+    from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import liu_shen_iterate_pallas
+
+    rng = np.random.default_rng(1)
+    d1 = jnp.asarray(rng.uniform(1, 255, (32, 128)).astype(np.float32))
+    d2 = jnp.asarray(rng.uniform(1, 255, (32, 128)).astype(np.float32))
+    z = jnp.zeros_like(d1)
+
+    ux, vx, ex = liu_shen_solve(d1, d2, 500.0, z, z, max_iter=8)
+
+    n1 = d1 / jnp.max(d1)
+    n2 = d2 / jnp.max(d2)
+    fields = liu_shen_precompute(n1, n2, 500.0)
+    up, vp, ep = liu_shen_iterate_pallas(500.0, fields, z, z, max_iter=8,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ux), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ep), float(ex), rtol=1e-3, atol=1e-9)
+
+
 def test_hs_supports_pallas_gating():
     assert hk.hs_supports_pallas((512, 512))
     assert not hk.hs_supports_pallas((513, 512))   # sublane misalignment
