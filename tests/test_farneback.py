@@ -88,3 +88,38 @@ def test_adapter_protocol(piv_pair_small):
         assert False, "even windowSize must raise"
     except ValueError:
         pass
+
+
+def test_farneback_box_filter_path(piv_pair_small):
+    """useGaussian=False exercises boxFilter5 (ref: optical_flow_farneback.cl:350-406)."""
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v = farneback_solve(
+        jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z),
+        use_gaussian=False,
+    )
+    ou, ov = ofb.farneback_compute(im1, im2, z, z, use_gaussian=False)
+    assert aee(u, v, ou, ov) < 1e-3
+
+
+def test_farneback_nonhalf_pyr_scale(piv_pair_medium):
+    """pyrScale=0.8 exercises the level-size rounding and blur-kernel sizing."""
+    im1, im2, _, _ = piv_pair_medium
+    z = np.zeros_like(im1)
+    u, v = farneback_solve(
+        jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z),
+        pyr_scale=0.8, pyr_levels=3,
+    )
+    ou, ov = ofb.farneback_compute(im1, im2, z, z, pyr_scale=0.8, pyr_levels=3)
+    assert aee(u, v, ou, ov) < 2e-3
+
+
+def test_farneback_poly5(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    u, v = farneback_solve(
+        jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z),
+        poly_n=5, poly_sigma=1.1,
+    )
+    ou, ov = ofb.farneback_compute(im1, im2, z, z, poly_n=5, poly_sigma=1.1)
+    assert aee(u, v, ou, ov) < 1e-3

@@ -55,3 +55,15 @@ def test_k_levels_iteration(piv_pair_small):
     )
     ou, ov = oracle_pyramid(im1, im2, 3.4, OracleHSAdapter([21.0, 21.0], 50), 1, 2)
     assert aee(u, v, ou, ov) < 5e-3
+
+
+def test_k_levels_non_warping(piv_pair_small):
+    """kLevels=2 with warping=False exercises the flow-bookkeeping-only branch
+    (ref: GenericPyramidalOpticalFlow.py:402-404)."""
+    im1, im2, _, _ = piv_pair_small
+    ad = HSOpticalFlowAlgoAdapter([21.0, 21.0], 50, provideGenericPyramidalDefaults=False)
+    oad = OracleHSAdapter([21.0, 21.0], 50)
+    oad.hasGenericPyramidalDefaults = lambda: False
+    u, v = generic_pyramidal_optical_flow(im1, im2, 2.0, ad, 1, 2, warping=False)
+    ou, ov = oracle_pyramid(im1, im2, 2.0, oad, 1, 2, warping=False)
+    assert aee(u, v, ou, ov) < 5e-3
