@@ -52,3 +52,18 @@ def test_fb_config_matches_oracle_driver(piv_pair_small):
         im1, im2, 0.0, OracleFarnebackAdapter(), pyramidal_levels=2,
     )
     assert aee(u, v, ou, ov) < 5e-3
+
+
+def test_batched_pipeline_all_solvers(piv_pair_small):
+    """vmapped whole-config pipelines work for every solver family."""
+    import jax.numpy as jnp
+    from opticalflow_ri_tpu.compile import batched_pipeline
+
+    im1, im2, _, _ = piv_pair_small
+    b1 = jnp.stack([jnp.asarray(im1)] * 2)
+    b2 = jnp.stack([jnp.asarray(im2)] * 2)
+    for name in ("HS_Fs0_0", "denseLK_Fs2_0", "Farneback_Fs0_0"):
+        u, v = batched_pipeline(name)(b1, b2)
+        assert u.shape == b1.shape
+        assert np.isfinite(np.asarray(u)).all()
+        np.testing.assert_allclose(np.asarray(u)[0], np.asarray(u)[1], atol=1e-5)

@@ -95,3 +95,27 @@ def test_adapter_protocol(piv_pair_small):
         "warping": False, "intermediateScaling": True, "scaling": False,
     }
     assert np.asarray(u).shape == im1.shape
+
+
+def test_vorticity_enhancement_end_to_end(piv_pair_small):
+    """enableVorticityEnhancement picks an asymmetric window from the mean
+    curl (ref: denseLucasKanade_PyCL.py:75-92)."""
+    from opticalflow_ri_tpu.models.lucas_kanade import evaluate_vorticity_asym
+
+    im1, im2, _, _ = piv_pair_small
+    h, w = im1.shape
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    # solid-body-like rotation.  NOTE the reference's filter2 is
+    # ndimage.convolve (kernel flipped), so its "omega" is the NEGATED curl:
+    # dV/dx>0, dU/dy<0 here gives omega_ref < 0 -> (0,1,0,1).
+    u = np.broadcast_to(-(ys - h / 2) * 0.1, (h, w)).astype(np.float32)
+    v = np.broadcast_to((xs - w / 2) * 0.1, (h, w)).astype(np.float32)
+    assert evaluate_vorticity_asym(u, v, True) == (0, 1, 0, 1)
+    assert evaluate_vorticity_asym(-u, -v, True) == (1, 0, 0, 1)
+    assert evaluate_vorticity_asym(np.zeros_like(u), np.zeros_like(v), True) == (0, 0, 0, 0)
+    assert evaluate_vorticity_asym(u, v, False) == (0, 0, 0, 0)
+
+    ad = DenseLucasKanadeAdapter(Niter=2, halfWindow=13, enableVorticityEnhancement=True)
+    uo, vo, _ = ad.compute(im1, im2, u * 0.01, v * 0.01)
+    assert np.isfinite(np.asarray(uo)).all()
