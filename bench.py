@@ -114,19 +114,52 @@ def time_batched(name, d1, d2, batch=8, repeats=3):
     return float(np.median(times)), batch
 
 
-def _install_watchdog():
-    """A wedged TPU tunnel hangs every dispatch indefinitely; make sure the
-    benchmark still emits its JSON line (value 0 = could not measure)."""
+_HEADLINE_PRINTED = False
+
+
+def _print_headline(value, error=None):
+    global _HEADLINE_PRINTED
+    if _HEADLINE_PRINTED:
+        return
+    _HEADLINE_PRINTED = True
+    line = {
+        "metric": "hs_fs3_4_throughput",
+        "value": round(value, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / BASELINE_MPIX_S, 1),
+    }
+    if error:
+        line["error"] = error
+    print(json.dumps(line))
+    sys.stdout.flush()
+
+
+def _sanity_probe(seconds=180):
+    """Check the device answers before dispatching heavy work.  A wedged
+    tunnel hangs every dispatch; killing a client mid-compile wedges the
+    server further, so bail out early with only a tiny op in flight."""
     import signal
 
-    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "480"))
+    def on_alarm(signum, frame):
+        _print_headline(0.0, "watchdog: device unresponsive at sanity probe")
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+    import jax.numpy as jnp
+
+    assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
+    signal.alarm(0)
+
+
+def _install_watchdog():
+    """Backstop for a device that dies mid-benchmark."""
+    import signal
+
+    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "1800"))
 
     def on_alarm(signum, frame):
-        print(json.dumps({
-            "metric": "hs_fs3_4_throughput", "value": 0.0, "unit": "Mpix/s",
-            "vs_baseline": 0.0, "error": "watchdog: device unresponsive",
-        }))
-        sys.stdout.flush()
+        _print_headline(0.0, "watchdog: device unresponsive")
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
@@ -138,6 +171,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # cold compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ofri_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    _sanity_probe()
     device = str(jax.devices()[0])
     im1, im2 = load_pair()
     d1 = jnp.asarray(im1)
@@ -180,9 +222,14 @@ def main():
                 f"({MPIX/marginal:.2f} Mpix/s)",
                 file=sys.stderr,
             )
+            if name == "HS_Fs3_4":
+                # emit the headline as soon as it is measured so a later hang
+                # cannot lose it
+                _print_headline(MPIX / marginal)
         except Exception as e:  # keep benching other configs, like the reference harness
             details["configs"][name] = {"error": repr(e)}
             print(f"# {name}: FAILED {e!r}", file=sys.stderr)
+        _dump_details(details)
 
     if not os.environ.get("BENCH_QUICK"):
         try:
@@ -195,17 +242,17 @@ def main():
         except Exception as e:
             details["batched"] = {"error": repr(e)}
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json"), "w") as f:
-        json.dump(details, f, indent=2)
-
+    _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})
-    value = hs.get("mpix_per_s", 0.0)
-    print(json.dumps({
-        "metric": "hs_fs3_4_throughput",
-        "value": round(value, 3),
-        "unit": "Mpix/s",
-        "vs_baseline": round(value / BASELINE_MPIX_S, 1),
-    }))
+    _print_headline(hs.get("mpix_per_s", 0.0))
+
+
+def _dump_details(details):
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_details.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=2)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":
