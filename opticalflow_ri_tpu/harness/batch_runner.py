@@ -150,3 +150,45 @@ class FlowBatchRunner:
             state["seconds_per_batch"] = t_total / n_batches
         self._save_checkpoint(state)
         return state
+
+
+def pairs_from_glob(pattern0: str, pattern1: str):
+    """Build (name, path0, path1) pairs from two glob patterns that sort into
+    correspondence (e.g. 'data/*_0.tif' and 'data/*_1.tif')."""
+    import glob
+
+    first = sorted(glob.glob(pattern0))
+    second = sorted(glob.glob(pattern1))
+    if len(first) != len(second):
+        raise ValueError(f"pair count mismatch: {len(first)} vs {len(second)}")
+    pairs = []
+    for p0, p1 in zip(first, second):
+        name = os.path.splitext(os.path.basename(p0))[0]
+        pairs.append((name, p0, p1))
+    return pairs
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--glob0", required=True, help="glob for frame-0 images")
+    ap.add_argument("--glob1", required=True, help="glob for frame-1 images")
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--out", default="flow_out")
+    ap.add_argument("--profile-dir", default=None)
+    args = ap.parse_args()
+
+    runner = FlowBatchRunner(args.config, batch_size=args.batch_size,
+                             output_dir=args.out, profile_dir=args.profile_dir)
+    state = runner.run(pairs_from_glob(args.glob0, args.glob1))
+    done = len(state.get("done", []))
+    failed = len(state.get("failed", []))
+    spb = state.get("seconds_per_batch")
+    rate = f", {args.batch_size / spb:.1f} pairs/s" if spb else ""
+    print(f"{done} pairs done, {failed} failed{rate} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

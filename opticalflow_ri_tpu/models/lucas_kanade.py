@@ -166,15 +166,16 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     # shift-minor (H, W, nshift^2) so the per-iteration reduction runs over
     # VPU lanes.
     nshift = 2 * R + 1
-    t1_list = []
-    t2_list = []
+    g_pair = jnp.stack([gx_core, gy_core])  # (2, core_h, core_w)
+    t_list = []
     for sy in range(-R, R + 1):
         for sx in range(-R, R + 1):
             js = jpad[oi + sy : oi + sy + core_h, oi + sx : oi + sx + core_w]
-            t1_list.append(wsum(js * gx_core))
-            t2_list.append(wsum(js * gy_core))
-    t1 = jnp.stack(t1_list, axis=-1)  # (H, W, nshift^2)
-    t2 = jnp.stack(t2_list, axis=-1)
+            # one window-sum pass covers both gradient stacks
+            t_list.append(wsum(js[None] * g_pair))
+    t_pair = jnp.stack(t_list, axis=-1)  # (2, H, W, nshift^2)
+    t1 = t_pair[0]
+    t2 = t_pair[1]
 
     # static per-lane shift coordinates
     s_lin = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nshift * nshift), 2)
