@@ -123,3 +123,13 @@ def test_farneback_poly5(piv_pair_small):
     )
     ou, ov = ofb.farneback_compute(im1, im2, z, z, poly_n=5, poly_sigma=1.1)
     assert aee(u, v, ou, ov) < 1e-3
+
+
+def test_farneback_odd_shapes():
+    from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+    im1, im2, _, _ = particle_image_pair(shape=(47, 61), seed=6, max_disp=1.5)
+    z = np.zeros_like(im1)
+    u, v = farneback_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z))
+    ou, ov = ofb.farneback_compute(im1, im2, z, z)
+    assert aee(u, v, ou, ov) < 1e-3

@@ -119,3 +119,15 @@ def test_vorticity_enhancement_end_to_end(piv_pair_small):
     ad = DenseLucasKanadeAdapter(Niter=2, halfWindow=13, enableVorticityEnhancement=True)
     uo, vo, _ = ad.compute(im1, im2, u * 0.01, v * 0.01)
     assert np.isfinite(np.asarray(uo)).all()
+
+
+def test_lk_odd_shapes():
+    """Non-tile-aligned and small images work (padding covers the window)."""
+    from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+    for shape in ((45, 67), (33, 130)):
+        im1, im2, _, _ = particle_image_pair(shape=shape, seed=5, max_disp=1.5)
+        z = np.zeros_like(im1)
+        u, v, st = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z), n_iter=2)
+        ou, ov, ost, _ = lk_dense(im1, im2, z, z, n_iter=2, calc_err=False)
+        _compare(u, v, ou, ov, frac=0.97)
