@@ -114,6 +114,32 @@ def time_batched(name, d1, d2, batch=8, repeats=3):
     return float(np.median(times)), batch
 
 
+def time_streamed(name, d1, d2, k=16, repeats=3):
+    """On-device sequential scan over k pairs: one dispatch, per-pair cost =
+    (t_k - sync_overhead) / k measured via the k=1 baseline."""
+    import jax.numpy as jnp
+    from opticalflow_ri_tpu.compile import scan_pipeline
+
+    fn = scan_pipeline(name)
+
+    def run(kk):
+        b1 = jnp.stack([d1] * kk)
+        b2 = jnp.stack([d2] * kk)
+        u, v = fn(b1, b2)
+        _force(u, v)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            u, v = fn(b1, b2)
+            _force(u, v)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t1 = run(1)
+    tk = run(k)
+    return max((tk - t1) / (k - 1), 1e-9), k
+
+
 _HEADLINE_PRINTED = False
 
 
@@ -241,6 +267,16 @@ def main():
             print(f"# batched x{b}: {t*1e3:.1f} ms ({b*MPIX/t:.2f} Mpix/s)", file=sys.stderr)
         except Exception as e:
             details["batched"] = {"error": repr(e)}
+        try:
+            t, k = time_streamed("PyHSchunck_Fs3_4", d1, d2)
+            details["streamed"] = {
+                "config": "PyHSchunck_Fs3_4", "k": k, "seconds_per_pair": t,
+                "mpix_per_s": MPIX / t,
+            }
+            print(f"# streamed scan x{k}: {t*1e3:.2f} ms/pair ({MPIX/t:.2f} Mpix/s)", file=sys.stderr)
+        except Exception as e:
+            details["streamed"] = {"error": repr(e)}
+        _dump_details(details)
 
     _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})

@@ -46,5 +46,27 @@ def compiled_pipeline(name: str):
 
 @lru_cache(maxsize=None)
 def batched_pipeline(name: str):
-    """Jitted vmapped pipeline over a leading batch axis of image pairs."""
+    """Jitted vmapped pipeline over a leading batch axis of image pairs.
+
+    vmap multiplies the working set by the batch size (VMEM spill risk at
+    large batches); prefer ``scan_pipeline`` for throughput streaming."""
     return jax.jit(jax.vmap(pipeline_fn(name)))
+
+
+@lru_cache(maxsize=None)
+def scan_pipeline(name: str):
+    """Jitted pipeline that processes a (K, H, W) stack of pairs
+    *sequentially on device* with ``lax.scan``: one dispatch, single-pair
+    working set (no VMEM spill), K x marginal-cost runtime — the production
+    streaming construct."""
+    fn = pipeline_fn(name)
+
+    def scanned(im1s, im2s):
+        def step(carry, pair):
+            u, v = fn(pair[0], pair[1])
+            return carry, (u, v)
+
+        _, (us, vs) = jax.lax.scan(step, None, (im1s, im2s))
+        return us, vs
+
+    return jax.jit(scanned)

@@ -67,3 +67,17 @@ def test_batched_pipeline_all_solvers(piv_pair_small):
         assert u.shape == b1.shape
         assert np.isfinite(np.asarray(u)).all()
         np.testing.assert_allclose(np.asarray(u)[0], np.asarray(u)[1], atol=1e-5)
+
+
+def test_scan_pipeline_matches_single(piv_pair_small):
+    import jax.numpy as jnp
+    from opticalflow_ri_tpu.compile import scan_pipeline, compiled_pipeline
+
+    im1, im2, _, _ = piv_pair_small
+    K = 3
+    b1 = jnp.stack([jnp.asarray(im1)] * K)
+    b2 = jnp.stack([jnp.asarray(im2)] * K)
+    us, vs = scan_pipeline("HS_Fs0_0")(b1, b2)
+    u1, v1 = compiled_pipeline("HS_Fs0_0")(jnp.asarray(im1), jnp.asarray(im2))
+    assert us.shape == (K,) + im1.shape
+    np.testing.assert_allclose(np.asarray(us)[1], np.asarray(u1), atol=1e-6)
