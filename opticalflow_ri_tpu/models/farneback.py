@@ -203,6 +203,35 @@ def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 6):
     ])
 
 
+def _um_impl(shape, sample_max_shift=6) -> str:
+    """Static dispatch for update_matrices: the Pallas VMEM-resident kernel on
+    TPU (opt-in via OFRI_ENABLE_PALLAS=1, like the HS kernel) else XLA."""
+    import os
+
+    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
+        return "xla"
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend == "cpu":
+        return "xla"
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_supports_pallas,
+    )
+
+    return "pallas" if update_matrices_supports_pallas(shape, sample_max_shift) else "xla"
+
+
+def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6):
+    """update_matrices with static impl selection (trace-time env + shape)."""
+    if _um_impl(r0.shape, sample_max_shift) == "pallas":
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
+
+        return update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift)
+    return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
+
+
 def update_flow(m):
     """Regularised per-pixel 2x2 solve (ref: optical_flow_farneback.cl:408-429)."""
     g11, g12, g22, h1, h2 = m[0], m[1], m[2], m[3], m[4]
@@ -268,7 +297,7 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
             poly_n, poly_sigma,
         )
 
-        m = update_matrices(fx, fy, ra, rb)
+        m = update_matrices_dispatch(fx, fy, ra, rb)
         for i in range(n_iters):
             if use_gaussian:
                 m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)
@@ -276,7 +305,7 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
                 m = box_filter5(m, window_size // 2)
             fx, fy = update_flow(m)
             if i < n_iters - 1:
-                m = update_matrices(fx, fy, ra, rb)
+                m = update_matrices_dispatch(fx, fy, ra, rb)
         prev = (fx, fy)
 
     return prev

@@ -99,9 +99,27 @@ def _wsum2d(x, runs_y, runs_x, hw, out_h, out_w):
     return _windowed_sum_axis(t, runs_y, hw, x.ndim - 2, out_h)
 
 
-@partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift"))
+def _lk_impl(h: int, w: int, max_shift: int) -> str:
+    """Static dispatch: band-resident Pallas GN loop on TPU (opt-in via
+    OFRI_ENABLE_PALLAS=1, like the HS kernel) else the XLA fori_loop."""
+    import os
+
+    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
+        return "xla"
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend == "cpu":
+        return "xla"
+    from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
+
+    return "pallas" if lk_gn_supports_pallas(h, w, max_shift) else "xla"
+
+
+@partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift", "impl"))
 def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
-                   asym=(0, 0, 0, 0), max_shift: int = 6):
+                   asym=(0, 0, 0, 0), max_shift: int = 6, impl: str = "auto"):
     """Dense LK over a full image; returns (u, v, status)."""
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
@@ -162,9 +180,7 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     c1 = wsum(i_core * gx_core)
     c2 = wsum(i_core * gy_core)
 
-    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, laid out
-    # shift-minor (H, W, nshift^2) so the per-iteration reduction runs over
-    # VPU lanes.
+    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
     nshift = 2 * R + 1
     g_pair = jnp.stack([gx_core, gy_core])  # (2, core_h, core_w)
     t_list = []
@@ -173,6 +189,27 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
             js = jpad[oi + sy : oi + sy + core_h, oi + sx : oi + sx + core_w]
             # one window-sum pass covers both gradient stacks
             t_list.append(wsum(js[None] * g_pair))
+
+    if impl == "auto":
+        impl = _lk_impl(h, w, R)
+
+    if impl == "pallas":
+        from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
+
+        jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        t_all = jnp.stack(t_list, axis=1)  # (2, nshift^2, H, W)
+        px, py, status = lk_gn_iterate_pallas(
+            t_all[0], t_all[1], ia11, ia12, ia22,
+            c1, c2, ok, jj + u0 - hw, ii + v0 - hw, n_iter, R, hw,
+        )
+        u = jnp.where(ok, px + hw - jj, u0)
+        v = jnp.where(ok, py + hw - ii, v0)
+        status = jnp.where(ok, status, 0.0)
+        return u, v, status
+
+    # XLA path: planes laid out shift-minor (H, W, nshift^2) so the
+    # per-iteration reduction runs over VPU lanes.
     t_pair = jnp.stack(t_list, axis=-1)  # (2, H, W, nshift^2)
     t1 = t_pair[0]
     t2 = t_pair[1]

@@ -1,0 +1,148 @@
+"""Dense Lucas-Kanade Gauss-Newton iterations as a Pallas TPU kernel.
+
+The XLA path (models/lucas_kanade.py) precomputes the shift-plane stacks
+T1/T2 — (nshift^2, H, W) weighted window sums — and then runs the
+Gauss-Newton fixed point as a fori_loop whose every iteration re-streams the
+full T stacks (~350 MB at 512x512, R=6) from HBM through a dense tent-weight
+contraction.  Five iterations cost five full passes.
+
+This kernel tiles the image into row bands, loads each band's T block into
+VMEM ONCE, and runs ALL Gauss-Newton iterations for that band in-register:
+HBM reads drop from n_iter full passes to exactly one.  Iterations are
+independent across pixels (each pixel's window state is its own), so banding
+is exact — numerics match the XLA path to f32 round-off.
+
+Semantics preserved from the reference kernel via the XLA path (ref:
+src/pyrlkDenseLargeW.cl:304-669): f32 window-origin tracking for the
+out-of-bounds bail, the x32.0f delta scale, the |delta|<0.01 early-exit mask,
+and the singular-window passthrough handled by the caller.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_STEP_EPS = 0.01
+
+
+def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
+                  c2_ref, act0_ref, px0_ref, py0_ref, px_out, py_out,
+                  status_out, *, n_iter: int, R: int, hw: int, h: int, w: int,
+                  band: int):
+    i = pl.program_id(0)
+    y0 = i * band
+
+    nshift = 2 * R + 1
+    ia11 = ia11_ref[:]
+    ia12 = ia12_ref[:]
+    ia22 = ia22_ref[:]
+    c1 = c1_ref[:]
+    c2 = c2_ref[:]
+
+    jj = lax.broadcasted_iota(jnp.float32, (band, w), 1)
+    ii = lax.broadcasted_iota(jnp.float32, (band, w), 0) + y0
+
+    def gn_body(_, state):
+        px, py, active, status = state
+        oob = (px < -hw) | (px >= w) | (py < -hw) | (py >= h)
+        status = jnp.where(active & oob, 0.0, status)
+        active = active & ~oob
+
+        u = px + hw - jj
+        v = py + hw - ii
+        uc = jnp.clip(u, float(-R), R - 1e-3)
+        vc = jnp.clip(v, float(-R), R - 1e-3)
+
+        def s_body(s, acc):
+            s1, s2 = acc
+            sy = (s // nshift).astype(jnp.float32) - R
+            sx = (s % nshift).astype(jnp.float32) - R
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(uc - sx)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(vc - sy)
+            )
+            t1s = t1_ref[s]
+            t2s = t2_ref[s]
+            return (s1 + wgt * t1s, s2 + wgt * t2s)
+
+        zero = jnp.zeros((band, w), jnp.float32)
+        s1, s2 = lax.fori_loop(0, nshift * nshift, s_body, (zero, zero))
+        b1 = s1 - c1
+        b2 = s2 - c2
+
+        dx = (ia12 * b2 - ia22 * b1) * 32.0
+        dy = (ia12 * b1 - ia11 * b2) * 32.0
+
+        fa = active.astype(jnp.float32)
+        px = px + dx * fa
+        py = py + dy * fa
+        small = (jnp.abs(dx) < _STEP_EPS) & (jnp.abs(dy) < _STEP_EPS)
+        active = active & ~small
+        return (px, py, active, status)
+
+    state0 = (
+        px0_ref[:],
+        py0_ref[:],
+        act0_ref[:] > 0.5,
+        jnp.ones((band, w), jnp.float32),
+    )
+    px, py, _, status = lax.fori_loop(0, n_iter, gn_body, state0)
+    px_out[:] = px
+    py_out[:] = py
+    status_out[:] = status
+
+
+def lk_gn_supports_pallas(h: int, w: int, max_shift: int) -> bool:
+    """Banded T blocks (two stacks) must fit VMEM with room for the scalars."""
+    nshift2 = (2 * max_shift + 1) ** 2
+    t_block_bytes = 2 * nshift2 * 8 * w * 4
+    return h % 8 == 0 and w % 128 == 0 and t_block_bytes <= 10 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("n_iter", "R", "hw", "band", "interpret"))
+def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
+                         n_iter: int, R: int, hw: int, band: int = 8,
+                         interpret: bool = False):
+    """Run the LK Gauss-Newton loop; returns (px, py, status).
+
+    ``t1``/``t2`` are (nshift^2, H, W) shift-plane stacks; the remaining
+    fields are (H, W).  ``ok`` is the non-singular-window mask (bool).
+    """
+    s_dim, h, w = t1.shape
+    while band > 8 and h % band != 0:
+        band //= 2
+    assert h % band == 0
+
+    f32 = lambda x: x.astype(jnp.float32)
+    band2 = pl.BlockSpec((band, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bandt = pl.BlockSpec((s_dim, band, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_lk_gn_kernel, n_iter=n_iter, R=R, hw=hw, h=h, w=w, band=band),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+        ),
+        grid=(h // band,),
+        in_specs=[bandt, bandt] + [band2] * 8,
+        out_specs=(band2, band2, band2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_iter) * (2 * R + 1) ** 2 * 6 * h * w,
+            bytes_accessed=(2 * s_dim + 11) * h * w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        f32(t1), f32(t2), f32(ia11), f32(ia12), f32(ia22), f32(c1), f32(c2),
+        ok.astype(jnp.float32), f32(px0), f32(py0),
+    )
+    return out

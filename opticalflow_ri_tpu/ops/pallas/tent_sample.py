@@ -1,0 +1,158 @@
+"""Fused Farneback updateMatrices as a Pallas TPU kernel.
+
+The XLA path (models/farneback.py:update_matrices) expresses the bilinear
+sample of the 5-plane R1 field at the flow-displaced position as a dense
+tent-weight contraction over (2R+1)^2 static shifts.  XLA materialises that
+contraction as a long chain of shifted multiply-adds streaming R1 from HBM
+~(2R+1)^2 times per call — the dominant HBM traffic of the whole Farneback
+solve (5 calls per level).
+
+This kernel runs the contraction with R1 pinned whole in VMEM and the flow /
+output M field banded over a row grid: R1 is read from HBM exactly once per
+call, every shifted access hits VMEM, and the full M assembly (difference
+blend, border-attenuation ramp, normal-equation products —
+ref: src/optical_flow_farneback.cl:256-348) is fused into the same pass so
+the intermediate sampled field never exists in HBM.
+
+Numerics are identical to the XLA path by construction: the same clipped
+tent weights, the same inside/outside branches, the same f32 ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflow_ri_tpu.models.farneback import BORDER_RAMP
+
+
+def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
+                            *, R: int, rows: int, cols: int, band: int):
+    """One row-band: dense tent contraction from VMEM + fused M assembly."""
+    i = pl.program_id(0)
+    y0 = i * band  # first global row of this band
+
+    flowx = fx_ref[:]
+    flowy = fy_ref[:]
+
+    dxc = jnp.clip(flowx, float(-R), R - 1e-3)
+    dyc = jnp.clip(flowy, float(-R), R - 1e-3)
+
+    nshift = 2 * R + 1
+
+    def sy_body(sy, acc):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy.astype(jnp.float32) - R)))
+        rows_s = r1p_ref[:, pl.ds(y0 + sy, band), :]
+        for sx in range(nshift):
+            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+            acc = acc + w[None] * rows_s[:, :, sx : sx + cols]
+        return acc
+
+    s = lax.fori_loop(
+        0, nshift, sy_body, jnp.zeros((5, band, cols), jnp.float32)
+    )
+
+    # global pixel coordinates of this band
+    ys = jax.lax.broadcasted_iota(jnp.float32, (band, cols), 0) + y0
+    xs = jax.lax.broadcasted_iota(jnp.float32, (band, cols), 1)
+    fx_pos = xs + flowx
+    fy_pos = ys + flowy
+    x1i = jnp.floor(fx_pos)
+    y1i = jnp.floor(fy_pos)
+    inside = (x1i >= 0) & (y1i >= 0) & (x1i < cols - 1) & (y1i < rows - 1)
+
+    r0 = r0_ref[:]
+    r2 = jnp.where(inside, s[0], 0.0)
+    r3 = jnp.where(inside, s[1], 0.0)
+    r4 = jnp.where(inside, (r0[2] + s[2]) * 0.5, r0[2])
+    r5 = jnp.where(inside, (r0[3] + s[3]) * 0.5, r0[3])
+    r6 = jnp.where(inside, (r0[4] + s[4]) * 0.25, r0[4] * 0.5)
+
+    r2 = (r0[0] - r2) * 0.5
+    r3 = (r0[1] - r3) * 0.5
+    r2 = r2 + r4 * flowy + r6 * flowx
+    r3 = r3 + r6 * flowy + r5 * flowx
+
+    # border attenuation ramp (ref: optical_flow_farneback.cl:254).  A table
+    # gather does not vectorise under Mosaic; the 6-entry ramp collapses to a
+    # two-threshold select on the distance-to-edge.
+    def ramp_at(d):
+        return jnp.where(
+            d < 2, jnp.float32(BORDER_RAMP[0]),
+            jnp.where(d < 5, jnp.float32(BORDER_RAMP[2]), jnp.float32(1.0)),
+        )
+
+    xi = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 0) + y0
+    scale = (
+        ramp_at(xi) * ramp_at(yi)
+        * ramp_at(cols - xi - 1) * ramp_at(rows - yi - 1)
+    )
+    r2 = r2 * scale
+    r3 = r3 * scale
+    r4 = r4 * scale
+    r5 = r5 * scale
+    r6 = r6 * scale
+
+    m_ref[0] = r4 * r4 + r6 * r6
+    m_ref[1] = (r4 + r5) * r6
+    m_ref[2] = r5 * r5 + r6 * r6
+    m_ref[3] = r4 * r2 + r6 * r3
+    m_ref[4] = r6 * r2 + r5 * r3
+
+
+def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
+    """Banded kernel needs R1 whole in VMEM plus a band working set."""
+    rows, cols = shape[-2], shape[-1]
+    if sample_max_shift is None:
+        return False
+    r1p_bytes = 5 * (rows + 2 * sample_max_shift + 1) * (
+        cols + 2 * sample_max_shift + 1
+    ) * 4
+    return (
+        rows % 8 == 0
+        and cols % 128 == 0
+        and r1p_bytes <= 8 * 1024 * 1024
+    )
+
+
+@partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
+def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 6,
+                           band: int = 32, interpret: bool = False):
+    """Drop-in replacement for models.farneback.update_matrices (dense path)."""
+    R = int(sample_max_shift)
+    _, rows, cols = r0.shape
+    while band > 8 and rows % band != 0:
+        band //= 2
+    band = min(band, rows)
+    assert rows % band == 0, "update_matrices_pallas requires rows % 8 == 0"
+    r1p = jnp.pad(r1, ((0, 0), (R, R + 1), (R, R + 1)), mode="edge")
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    band_spec = lambda nch: pl.BlockSpec(
+        (nch, band, cols), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    band2 = pl.BlockSpec((band, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    nshift = 2 * R + 1
+    return pl.pallas_call(
+        partial(_update_matrices_kernel, R=R, rows=rows, cols=cols, band=band),
+        out_shape=jax.ShapeDtypeStruct((5, rows, cols), jnp.float32),
+        grid=(pl.cdiv(rows, band),),
+        in_specs=[vmem, band_spec(5), band2, band2],
+        out_specs=band_spec(5),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows) * cols * (nshift * nshift * 10 + 40) * 5,
+            bytes_accessed=(5 * rows * cols * 3 + 2 * rows * cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r1p, r0, flowx.astype(jnp.float32), flowy.astype(jnp.float32))

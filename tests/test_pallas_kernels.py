@@ -53,6 +53,90 @@ def test_liu_shen_pallas_kernel_matches_xla_interpret():
     np.testing.assert_allclose(float(ep), float(ex), rtol=1e-3, atol=1e-9)
 
 
+def test_farneback_update_matrices_pallas_matches_xla_interpret():
+    from opticalflow_ri_tpu.models.farneback import poly_expansion, update_matrices
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
+
+    rng = np.random.default_rng(2)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    ra = poly_expansion(im1, 7, 1.5)
+    rb = poly_expansion(im2, 7, 1.5)
+    fx = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
+
+    m_ref = update_matrices(fx, fy, ra, rb)
+    m_pal = update_matrices_pallas(fx, fy, ra, rb, interpret=True)
+    scale = float(jnp.max(jnp.abs(m_ref)))
+    np.testing.assert_allclose(
+        np.asarray(m_pal), np.asarray(m_ref), atol=1e-6 * scale, rtol=1e-5
+    )
+
+
+def test_lk_gn_pallas_matches_xla_interpret(monkeypatch):
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(3)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (64, 128)).astype(np.float32)
+    )
+    z = jnp.zeros((64, 128), jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, z, z, impl="xla")
+
+    orig = lki.lk_gn_iterate_pallas
+    monkeypatch.setattr(
+        lki, "lk_gn_iterate_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, z, z, impl="pallas")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_lk_gn_pallas_asymmetric_window_and_flow_init(monkeypatch):
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(4)
+    im1 = jnp.asarray(rng.uniform(0, 255, (32, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (0, 1), axis=(0, 1))
+    u0 = jnp.full((32, 128), 0.5, jnp.float32)
+    v0 = jnp.full((32, 128), -0.25, jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, u0, v0, asym=(0, 1, 0, 1), impl="xla")
+
+    orig = lki.lk_gn_iterate_pallas
+    monkeypatch.setattr(
+        lki, "lk_gn_iterate_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, u0, v0, asym=(0, 1, 0, 1), impl="pallas")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_pallas_supports_gating_new_kernels():
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_supports_pallas
+    from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
+
+    assert update_matrices_supports_pallas((5, 512, 512), 6)
+    assert not update_matrices_supports_pallas((5, 512, 512), None)  # gather path
+    assert not update_matrices_supports_pallas((5, 515, 512), 6)
+    assert not update_matrices_supports_pallas((5, 2048, 2048), 6)  # VMEM budget
+
+    assert lk_gn_supports_pallas(512, 512, 6)
+    assert not lk_gn_supports_pallas(513, 512, 6)
+    assert not lk_gn_supports_pallas(512, 500, 6)
+    assert not lk_gn_supports_pallas(512, 4096, 6)  # T band exceeds VMEM
+
+
 def test_hs_supports_pallas_gating():
     assert hk.hs_supports_pallas((512, 512))
     assert not hk.hs_supports_pallas((513, 512))   # sublane misalignment
