@@ -100,7 +100,27 @@ bool parse_tiff(const std::vector<uint8_t>& buf, TiffInfo* info) {
     }
   }
   return info->width && info->height && !info->strip_offsets.empty() &&
-         info->compression == 1 && (info->bits == 8 || info->bits == 16);
+         (info->compression == 1 || info->compression == 32773) &&
+         (info->bits == 8 || info->bits == 16);
+}
+
+// PackBits (compression 32773) RLE: n in [0,127] copies n+1 literal bytes,
+// n in [-127,-1] repeats the next byte 1-n times, n == -128 is a no-op.
+bool unpackbits(const uint8_t* src, uint64_t cnt, std::vector<uint8_t>* out) {
+  uint64_t i = 0;
+  while (i < cnt) {
+    int8_t n = (int8_t)src[i++];
+    if (n >= 0) {
+      uint64_t len = (uint64_t)n + 1;
+      if (i + len > cnt) return false;
+      out->insert(out->end(), src + i, src + i + len);
+      i += len;
+    } else if (n != -128) {
+      if (i >= cnt) return false;
+      out->insert(out->end(), (size_t)(1 - n), src[i++]);
+    }
+  }
+  return true;
 }
 
 bool read_file(const char* path, std::vector<uint8_t>* out) {
@@ -127,9 +147,15 @@ bool decode_to_f32(const std::vector<uint8_t>& buf, const TiffInfo& info,
                        ? info.strip_counts[s]
                        : npix * bpp;  // single unbounded strip
     if (off + cnt > buf.size()) return false;
+    std::vector<uint8_t> unpacked;
+    const uint8_t* p = buf.data() + off;
+    if (info.compression == 32773) {
+      if (!unpackbits(p, cnt, &unpacked)) return false;
+      p = unpacked.data();
+      cnt = unpacked.size();
+    }
     uint64_t vals = cnt / bpp;
     if (written + vals > npix) vals = npix - written;
-    const uint8_t* p = buf.data() + off;
     if (info.bits == 8) {
       for (uint64_t i = 0; i < vals; ++i) dst[written + i] = (float)p[i];
     } else {

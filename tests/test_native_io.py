@@ -81,6 +81,6 @@ def test_save_flow_roundtrip(tmp_path):
     vel = m["velocities"]
     np.testing.assert_allclose(vel["u"][0, 0], u, rtol=1e-6)
     np.testing.assert_allclose(vel["v"][0, 0], v, rtol=1e-6)
-    assert float(vel["iaWidth"][0, 0]) == 1
-    assert float(m["parameters"]["imageHeight"][0, 0]) == 15
-    assert float(vel["margins"][0, 0]["top"][0, 0]) == 0
+    assert float(np.squeeze(vel["iaWidth"][0, 0])) == 1
+    assert float(np.squeeze(m["parameters"]["imageHeight"][0, 0])) == 15
+    assert float(np.squeeze(vel["margins"][0, 0]["top"][0, 0])) == 0
