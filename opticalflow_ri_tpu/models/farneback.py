@@ -232,6 +232,38 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6):
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
 
 
+def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool):
+    """window-blur M then solve for flow, fused in one Pallas pass on TPU
+    (opt-in via OFRI_ENABLE_PALLAS=1) else the stencil + elementwise path."""
+    import os
+
+    if os.environ.get("OFRI_ENABLE_PALLAS") == "1":
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"
+        if backend != "cpu":
+            from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+                blur5_flow_pallas, blur5_flow_supports_pallas,
+            )
+
+            if use_gaussian:
+                k = _blur_kernel(window_size, window_size / 2 * 0.3)
+                mode, scale = "mirror", 1.0
+            else:
+                half = window_size // 2
+                k = np.ones(2 * half + 1, np.float32)
+                mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
+            if blur5_flow_supports_pallas(m.shape, len(k)):
+                return blur5_flow_pallas(m, tuple(float(w) for w in k), mode, scale)
+
+    if use_gaussian:
+        m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)
+    else:
+        m = box_filter5(m, window_size // 2)
+    return update_flow(m)
+
+
 def update_flow(m):
     """Regularised per-pixel 2x2 solve (ref: optical_flow_farneback.cl:408-429)."""
     g11, g12, g22, h1, h2 = m[0], m[1], m[2], m[3], m[4]
@@ -299,11 +331,7 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
 
         m = update_matrices_dispatch(fx, fy, ra, rb)
         for i in range(n_iters):
-            if use_gaussian:
-                m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)
-            else:
-                m = box_filter5(m, window_size // 2)
-            fx, fy = update_flow(m)
+            fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian)
             if i < n_iters - 1:
                 m = update_matrices_dispatch(fx, fy, ra, rb)
         prev = (fx, fy)

@@ -1,0 +1,108 @@
+"""Fused Farneback window-blur + flow solve as a Pallas TPU kernel.
+
+Each Farneback iteration blurs the 5-plane normal-equation field M with a
+separable window filter and immediately solves the per-pixel regularised 2x2
+system (ref: optical_flow_farneback.cl:198-253 gaussianBlur5 / :350-406
+boxFilter5, then :408-429 updateFlow).  The blurred M exists only to feed
+that solve — XLA still materialises it (plus the separable x-pass
+intermediate) in HBM every iteration.
+
+This kernel keeps the padded M whole in VMEM, runs both separable passes and
+the 2x2 solve per row band, and writes only the two flow planes: the blurred
+field and the x-pass intermediate never touch HBM.  Output rows are banded
+with the x-pass recomputed over the band's 2*half-row halo (band 64, halo 16
+-> 1.5x redundant x-pass flops, all VPU-cheap).
+
+Padding (reflect-101 for the Gaussian window, replicate for the box filter)
+is applied by the XLA caller; the kernel does valid correlation only, so the
+border semantics stay bit-identical to the stencil path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflow_ri_tpu.ops.padding import pad2d
+
+
+def _blur5_flow_kernel(mp_ref, fx_out, fy_out, *, taps, rows: int, cols: int,
+                       band: int, scale: float):
+    i = pl.program_id(0)
+    y0 = i * band
+    n = len(taps)
+    half = n // 2
+
+    # y-pass first, then x-pass — the same order as the stencil path
+    # (gaussian_blur5/box_filter5 correlate axis=-2 then axis=-1), keeping
+    # f32 summation order and therefore results bit-identical.
+    src = mp_ref[:, pl.ds(y0, band + 2 * half), :]
+    tmp = None
+    for j, w in enumerate(taps):
+        term = src[:, j : j + band, :] * jnp.float32(w)
+        tmp = term if tmp is None else tmp + term
+
+    blur = None
+    for j, w in enumerate(taps):
+        term = tmp[:, :, j : j + cols] * jnp.float32(w)
+        blur = term if blur is None else blur + term
+    if scale != 1.0:
+        blur = blur * jnp.float32(scale)
+
+    # regularised 2x2 solve (ref: optical_flow_farneback.cl:408-429)
+    g11, g12, g22, h1, h2 = blur[0], blur[1], blur[2], blur[3], blur[4]
+    det_inv = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
+    fx_out[:] = (g11 * h2 - g12 * h1) * det_inv
+    fy_out[:] = (g22 * h1 - g12 * h2) * det_inv
+
+
+def blur5_flow_supports_pallas(shape, ksize: int) -> bool:
+    rows, cols = shape[-2], shape[-1]
+    half = ksize // 2
+    mp_bytes = 5 * (rows + 2 * half) * (cols + 2 * half) * 4
+    return rows % 8 == 0 and cols % 128 == 0 and mp_bytes <= 10 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))
+def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
+                      band: int = 64, interpret: bool = False):
+    """Blur the 5-plane field with the separable 1-D ``kernel`` (border
+    ``mode``) and solve for flow; returns (flowx, flowy)."""
+    taps = tuple(float(w) for w in kernel)
+    n = len(taps)
+    half = n // 2
+    _, rows, cols = m.shape
+    while band > 8 and rows % band != 0:
+        band //= 2
+    assert rows % band == 0
+
+    mp = pad2d(m, ((half, half), (half, half)), mode)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    band2 = pl.BlockSpec((band, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_blur5_flow_kernel, taps=taps, rows=rows, cols=cols,
+                band=band, scale=float(scale)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        ),
+        grid=(rows // band,),
+        in_specs=[vmem],
+        out_specs=(band2, band2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows) * cols * 5 * (4 * n + 10),
+            bytes_accessed=(5 * rows * cols + 2 * rows * cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mp.astype(jnp.float32))

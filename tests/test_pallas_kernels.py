@@ -122,6 +122,79 @@ def test_lk_gn_pallas_asymmetric_window_and_flow_init(monkeypatch):
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
 
 
+def test_farneback_blur5_flow_pallas_full_solve_interpret(monkeypatch):
+    """Fused blur+flow kernel inside the whole Farneback solve on synthetic
+    particle data (random noise makes the 2x2 solve ill-conditioned and
+    amplifies f32 round-off meaninglessly)."""
+    import opticalflow_ri_tpu.models.farneback as fbm
+    from opticalflow_ri_tpu.ops.pallas import blur5_flow as bf
+    from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+    im1, im2, _, _ = particle_image_pair(shape=(128, 128), seed=7)
+    im1 = jnp.asarray(im1, jnp.float32)
+    im2 = jnp.asarray(im2, jnp.float32)
+    z = jnp.zeros_like(im1)
+
+    f_ref = fbm.farneback_solve(im1, im2, z, z)
+
+    orig_kernel = fbm._blur_kernel
+
+    def patched_dispatch(m, window_size, use_gaussian):
+        if use_gaussian:
+            k = orig_kernel(window_size, window_size / 2 * 0.3)
+            mode, scale = "mirror", 1.0
+        else:
+            half = window_size // 2
+            k = np.ones(2 * half + 1, np.float32)
+            mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
+        return bf.blur5_flow_pallas(
+            m, tuple(float(w) for w in k), mode, scale, interpret=True
+        )
+
+    monkeypatch.setattr(fbm, "_blur_flow_dispatch", patched_dispatch)
+    jax.clear_caches()
+    f_pal = fbm.farneback_solve(im1, im2, z, z)
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pal[1]), np.asarray(f_ref[1]), atol=1e-4)
+
+
+def test_farneback_blur5_flow_pallas_box_filter_interpret(monkeypatch):
+    import opticalflow_ri_tpu.models.farneback as fbm
+    from opticalflow_ri_tpu.ops.pallas import blur5_flow as bf
+    from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+    im1, im2, _, _ = particle_image_pair(shape=(128, 128), seed=8)
+    im1 = jnp.asarray(im1, jnp.float32)
+    im2 = jnp.asarray(im2, jnp.float32)
+    z = jnp.zeros_like(im1)
+
+    f_ref = fbm.farneback_solve(im1, im2, z, z, use_gaussian=False)
+
+    orig_kernel = fbm._blur_kernel
+
+    def patched_dispatch(m, window_size, use_gaussian):
+        if use_gaussian:
+            k = orig_kernel(window_size, window_size / 2 * 0.3)
+            mode, scale = "mirror", 1.0
+        else:
+            half = window_size // 2
+            k = np.ones(2 * half + 1, np.float32)
+            mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
+        return bf.blur5_flow_pallas(
+            m, tuple(float(w) for w in k), mode, scale, interpret=True
+        )
+
+    monkeypatch.setattr(fbm, "_blur_flow_dispatch", patched_dispatch)
+    jax.clear_caches()
+    f_pal = fbm.farneback_solve(im1, im2, z, z, use_gaussian=False)
+    jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(f_pal[0]), np.asarray(f_ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pal[1]), np.asarray(f_ref[1]), atol=1e-4)
+
+
 def test_pallas_supports_gating_new_kernels():
     from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
