@@ -71,23 +71,36 @@ def _runs_from_mask(mask: np.ndarray):
 
 
 def _windowed_sum_axis(x, runs, half_window, axis, out_len):
-    """sum_k mask[k] * x[p + k - half_window] along ``axis`` via cumulative-sum
-    differences per mask run.  ``x`` covers positions [-hw, out_len-1+GRID-1-hw]
-    relative to the output origin."""
-    cs = jnp.cumsum(x, axis=axis)
-    zero_shape = list(x.shape)
-    zero_shape[axis] = 1
-    cs = jnp.concatenate([jnp.zeros(zero_shape, x.dtype), cs], axis=axis)
+    """sum_k mask[k] * x[p + k - half_window] along ``axis``.  ``x`` covers
+    positions [-hw, out_len-1+GRID-1-hw] relative to the output origin.
 
-    def seg(lo, hi):
-        # sum over k in [lo, hi] -> cs[p + hi + 1] - cs[p + lo]
-        a = lax.slice_in_dim(cs, hi + 1, hi + 1 + out_len, axis=axis)
-        b = lax.slice_in_dim(cs, lo, lo + out_len, axis=axis)
-        return a - b
-
+    Each mask run of length L is decomposed hierarchically: a base box of
+    width a ~= sqrt(L) built once, then b = L // a strided slices of it (plus
+    the remainder taps) — ~2*sqrt(L) static slice-adds that XLA fuses into a
+    single VPU pass.  This replaces the earlier cumsum-difference scheme: on
+    TPU a cumsum lowers to ~log2(n) full-array shifted-add passes, so the
+    fused O(sqrt(L)) form is both less HBM traffic and one kernel."""
+    size = x.shape[axis]
     out = None
     for lo, hi in runs:
-        term = seg(lo, hi)
+        L = hi - lo + 1
+        a = max(1, int(round(L ** 0.5)))
+        b = L // a
+        if a == 1:
+            base = x
+        else:
+            base = None
+            for i in range(a):
+                t = lax.slice_in_dim(x, i, size - a + 1 + i, axis=axis)
+                base = t if base is None else base + t
+        term = None
+        for j in range(b):
+            s = lo + a * j
+            t = lax.slice_in_dim(base, s, s + out_len, axis=axis)
+            term = t if term is None else term + t
+        for k in range(lo + a * b, hi + 1):
+            t = lax.slice_in_dim(x, k, k + out_len, axis=axis)
+            term = t if term is None else term + t
         out = term if out is None else out + term
     return out
 
