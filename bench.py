@@ -24,6 +24,19 @@ import os
 import sys
 import time
 
+# The fast Pallas kernel path needs client-side Mosaic compiles on the
+# tunneled axon backend (server-side ones hang the device), and the axon
+# sitecustomize reads this variable at interpreter start — so re-exec once
+# with it set before anything imports jax.
+if (
+    __name__ == "__main__"
+    and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") is None
+    and os.environ.get("OFRI_DISABLE_PALLAS") != "1"
+    and "jax" not in sys.modules
+):
+    env = dict(os.environ, PALLAS_AXON_REMOTE_COMPILE="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

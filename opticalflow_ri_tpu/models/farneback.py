@@ -204,17 +204,12 @@ def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 6):
 
 
 def _um_impl(shape, sample_max_shift=6) -> str:
-    """Static dispatch for update_matrices: the Pallas VMEM-resident kernel on
-    TPU (opt-in via OFRI_ENABLE_PALLAS=1, like the HS kernel) else XLA."""
-    import os
+    """Static dispatch for update_matrices: the Pallas VMEM-resident kernel
+    (measured 11x the XLA contraction on a v5e, bit-identical —
+    scripts/pallas_ab_results.json) when the backend policy allows, else XLA."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
-        return "xla"
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if backend == "cpu":
+    if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.tent_sample import (
         update_matrices_supports_pallas,
@@ -233,29 +228,25 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6):
 
 
 def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool):
-    """window-blur M then solve for flow, fused in one Pallas pass on TPU
-    (opt-in via OFRI_ENABLE_PALLAS=1) else the stencil + elementwise path."""
-    import os
+    """window-blur M then solve for flow, fused in one Pallas pass (measured
+    ~5x the stencil + elementwise path on a v5e, bit-identical —
+    scripts/pallas_ab_results.json) when the backend policy allows."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    if os.environ.get("OFRI_ENABLE_PALLAS") == "1":
-        try:
-            backend = jax.default_backend()
-        except RuntimeError:
-            backend = "cpu"
-        if backend != "cpu":
-            from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
-                blur5_flow_pallas, blur5_flow_supports_pallas,
-            )
+    if pallas_default_on():
+        from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+            blur5_flow_pallas, blur5_flow_supports_pallas,
+        )
 
-            if use_gaussian:
-                k = _blur_kernel(window_size, window_size / 2 * 0.3)
-                mode, scale = "mirror", 1.0
-            else:
-                half = window_size // 2
-                k = np.ones(2 * half + 1, np.float32)
-                mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
-            if blur5_flow_supports_pallas(m.shape, len(k)):
-                return blur5_flow_pallas(m, tuple(float(w) for w in k), mode, scale)
+        if use_gaussian:
+            k = _blur_kernel(window_size, window_size / 2 * 0.3)
+            mode, scale = "mirror", 1.0
+        else:
+            half = window_size // 2
+            k = np.ones(2 * half + 1, np.float32)
+            mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
+        if blur5_flow_supports_pallas(m.shape, len(k)):
+            return blur5_flow_pallas(m, tuple(float(w) for w in k), mode, scale)
 
     if use_gaussian:
         m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)

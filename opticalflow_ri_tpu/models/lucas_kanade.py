@@ -113,17 +113,12 @@ def _wsum2d(x, runs_y, runs_x, hw, out_h, out_w):
 
 
 def _lk_impl(h: int, w: int, max_shift: int) -> str:
-    """Static dispatch: band-resident Pallas GN loop on TPU (opt-in via
-    OFRI_ENABLE_PALLAS=1, like the HS kernel) else the XLA fori_loop."""
-    import os
+    """Static dispatch: band-resident Pallas GN loop (measured 1.8x the XLA
+    fori_loop on a v5e — scripts/pallas_ab_results.json) when the backend
+    policy allows, else the XLA fori_loop."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
-        return "xla"
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if backend == "cpu":
+    if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
 

@@ -5,4 +5,34 @@ here the equivalents are Mosaic/Pallas kernels.  Each kernel has an XLA
 fallback in its solver (``impl="xla"``): Pallas engages on TPU backends for
 shapes that tile cleanly, and the fallbacks keep CPU tests and odd shapes
 working.  Parity between both paths is asserted in tests.
+
+Dispatch policy (``pallas_default_on``): the kernels that measured FASTER than
+XLA on hardware (Farneback updateMatrices 15x, blur5+flow, LK Gauss-Newton —
+see scripts/pallas_ab_results.json) default ON for TPU backends; the ones XLA
+already wins (whole-solve HS/Liu-Shen Jacobi loops) stay opt-in via
+OFRI_ENABLE_PALLAS=1.  On the tunneled 'axon' backend, server-side Mosaic
+compiles hang the device, so Pallas only engages when the client-side compile
+path (PALLAS_AXON_REMOTE_COMPILE=1, read by the interpreter at start-up) is
+active.  OFRI_DISABLE_PALLAS=1 force-disables everything.
 """
+
+import os as _os
+
+
+def pallas_default_on() -> bool:
+    """True when the measured-faster Pallas kernels should engage."""
+    if _os.environ.get("OFRI_DISABLE_PALLAS") == "1":
+        return False
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    if backend == "cpu":
+        return False
+    if _os.environ.get("OFRI_ENABLE_PALLAS") == "1":
+        return True
+    if backend == "axon":
+        return _os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+    return True

@@ -45,50 +45,54 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
     c1 = c1_ref[:]
     c2 = c2_ref[:]
 
-    jj = lax.broadcasted_iota(jnp.float32, (band, w), 1)
-    ii = lax.broadcasted_iota(jnp.float32, (band, w), 0) + y0
+    # Mosaic rejects float iota; build int32 and convert.
+    jj = lax.broadcasted_iota(jnp.int32, (band, w), 1).astype(jnp.float32)
+    ii = lax.broadcasted_iota(jnp.int32, (band, w), 0).astype(jnp.float32) + y0
 
     def gn_body(_, state):
+        # all carries are f32 vectors (incl. the active/status masks):
+        # Mosaic cannot legalize a bool vector through the scf.for carry.
         px, py, active, status = state
-        oob = (px < -hw) | (px >= w) | (py < -hw) | (py >= h)
-        status = jnp.where(active & oob, 0.0, status)
-        active = active & ~oob
+        oob = ((px < -hw) | (px >= w) | (py < -hw) | (py >= h)).astype(jnp.float32)
+        status = status * (1.0 - active * oob)
+        active = active * (1.0 - oob)
 
         u = px + hw - jj
         v = py + hw - ii
         uc = jnp.clip(u, float(-R), R - 1e-3)
         vc = jnp.clip(v, float(-R), R - 1e-3)
 
-        def s_body(s, acc):
-            s1, s2 = acc
-            sy = (s // nshift).astype(jnp.float32) - R
-            sx = (s % nshift).astype(jnp.float32) - R
+        # static unrolled contraction — Mosaic cannot lower a nested scf.for,
+        # and static plane indices avoid dynamic VMEM addressing entirely.
+        # Same lane order (sy-major) as the XLA path keeps f32 sums identical.
+        s1 = jnp.zeros((band, w), jnp.float32)
+        s2 = jnp.zeros((band, w), jnp.float32)
+        for s in range(nshift * nshift):
+            sy = float(s // nshift - R)
+            sx = float(s % nshift - R)
             wgt = jnp.maximum(0.0, 1.0 - jnp.abs(uc - sx)) * jnp.maximum(
                 0.0, 1.0 - jnp.abs(vc - sy)
             )
-            t1s = t1_ref[s]
-            t2s = t2_ref[s]
-            return (s1 + wgt * t1s, s2 + wgt * t2s)
-
-        zero = jnp.zeros((band, w), jnp.float32)
-        s1, s2 = lax.fori_loop(0, nshift * nshift, s_body, (zero, zero))
+            s1 = s1 + wgt * t1_ref[s]
+            s2 = s2 + wgt * t2_ref[s]
         b1 = s1 - c1
         b2 = s2 - c2
 
         dx = (ia12 * b2 - ia22 * b1) * 32.0
         dy = (ia12 * b1 - ia11 * b2) * 32.0
 
-        fa = active.astype(jnp.float32)
-        px = px + dx * fa
-        py = py + dy * fa
-        small = (jnp.abs(dx) < _STEP_EPS) & (jnp.abs(dy) < _STEP_EPS)
-        active = active & ~small
+        px = px + dx * active
+        py = py + dy * active
+        small = ((jnp.abs(dx) < _STEP_EPS) & (jnp.abs(dy) < _STEP_EPS)).astype(
+            jnp.float32
+        )
+        active = active * (1.0 - small)
         return (px, py, active, status)
 
     state0 = (
         px0_ref[:],
         py0_ref[:],
-        act0_ref[:] > 0.5,
+        act0_ref[:],
         jnp.ones((band, w), jnp.float32),
     )
     px, py, _, status = lax.fori_loop(0, n_iter, gn_body, state0)

@@ -24,7 +24,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,21 +44,23 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
 
     nshift = 2 * R + 1
 
-    def sy_body(sy, acc):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy.astype(jnp.float32) - R)))
-        rows_s = r1p_ref[:, pl.ds(y0 + sy, band), :]
+    # One aligned VMEM load covering every y-shift (Mosaic requires dynamic
+    # sublane-dim offsets to be 8-aligned; y0 = i*band is, y0+sy is not), then
+    # static in-register slices per shift.  Same summation order as the XLA
+    # path (sy-major, sx-minor) keeps results bit-identical.
+    win = r1p_ref[:, pl.ds(y0, band + nshift - 1), :]
+    s = jnp.zeros((5, band, cols), jnp.float32)
+    for sy in range(nshift):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+        rows_s = win[:, sy : sy + band, :]
         for sx in range(nshift):
             w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
-            acc = acc + w[None] * rows_s[:, :, sx : sx + cols]
-        return acc
-
-    s = lax.fori_loop(
-        0, nshift, sy_body, jnp.zeros((5, band, cols), jnp.float32)
-    )
+            s = s + w[None] * rows_s[:, :, sx : sx + cols]
 
     # global pixel coordinates of this band
-    ys = jax.lax.broadcasted_iota(jnp.float32, (band, cols), 0) + y0
-    xs = jax.lax.broadcasted_iota(jnp.float32, (band, cols), 1)
+    # Mosaic rejects float iota; build int32 and convert.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 0).astype(jnp.float32) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 1).astype(jnp.float32)
     fx_pos = xs + flowx
     fy_pos = ys + flowy
     x1i = jnp.floor(fx_pos)

@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Hardware A/B: XLA vs Pallas for the LK / Farneback hot kernels.
+
+Run ON THE TPU with client-side Mosaic compiles:
+
+    PALLAS_AXON_REMOTE_COMPILE=1 timeout 3000 python3 scripts/measure_pallas.py
+
+Prints one JSON line per stage (incremental, so a wedge mid-run still leaves
+the earlier numbers on disk) and a final summary to
+scripts/pallas_ab_results.json.
+
+Methodology matches bench.py: marginal time = (t_K - t_1)/(K-1) over a chain
+of async dispatches, completion forced by an on-device scalar reduction
+(block_until_ready does not reliably block through the tunnel).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = {}
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pallas_ab_results.json")
+
+
+def emit(stage, **kw):
+    RESULTS[stage] = kw
+    print(json.dumps({"stage": stage, **kw}), flush=True)
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def force(*xs):
+    import jax.numpy as jnp
+
+    return sum(float(jnp.sum(x)) for x in xs)
+
+
+def marginal(fn, args, chain=8, repeats=3):
+    out = fn(*args)
+    force(*(out if isinstance(out, tuple) else (out,)))
+
+    def run_k(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        o = out if isinstance(out, tuple) else (out,)
+        force(*o)
+        return time.perf_counter() - t0
+
+    t1 = float(np.median([run_k(1) for _ in range(repeats)]))
+    tk = float(np.median([run_k(chain) for _ in range(repeats)]))
+    return max((tk - t1) / (chain - 1), 1e-9), t1
+
+
+def main():
+    import signal
+
+    def on_alarm(signum, frame):
+        emit("watchdog", error="device unresponsive / compile overran")
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.expanduser("~/.cache/ofri_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    signal.alarm(240)
+    assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
+    emit("probe", device=str(jax.devices()[0]),
+         remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
+
+    from opticalflow_ri_tpu.utils.io import load_image
+
+    p = "/root/reference/examples/testImages/Bits08/Ni06/parabolic01_%d.tif"
+    im1 = jnp.asarray(load_image(p % 0), jnp.float32)
+    im2 = jnp.asarray(load_image(p % 1), jnp.float32)
+    h, w = im1.shape
+
+    # ---------------- Farneback update_matrices ----------------
+    from opticalflow_ri_tpu.models.farneback import (
+        poly_expansion, update_matrices, gaussian_blur5, box_filter5,
+        update_flow,
+    )
+    import jax as _jax
+
+    r0 = poly_expansion(im1, 7, 1.5)
+    r1 = poly_expansion(im2, 7, 1.5)
+    key = _jax.random.PRNGKey(0)
+    fx = _jax.random.uniform(key, (h, w), jnp.float32, -3.5, 3.5)
+    fy = _jax.random.uniform(_jax.random.PRNGKey(1), (h, w), jnp.float32, -3.5, 3.5)
+    r0, r1, fx, fy = _jax.block_until_ready((r0, r1, fx, fy))
+
+    um_xla = _jax.jit(lambda a, b, c, d: update_matrices(a, b, c, d, 6))
+    signal.alarm(600)
+    m_x, t1 = marginal(um_xla, (fx, fy, r0, r1))
+    emit("um_xla", marginal_ms=m_x * 1e3, latency_s=t1)
+
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_pallas, update_matrices_supports_pallas,
+    )
+
+    assert update_matrices_supports_pallas(r0.shape, 6)
+    signal.alarm(2400)  # first Mosaic compile can take ~15 min
+    mx = update_matrices_pallas(fx, fy, r0, r1, 6)
+    mref = um_xla(fx, fy, r0, r1)
+    diff = float(jnp.max(jnp.abs(mx - mref)))
+    scale = float(jnp.max(jnp.abs(mref)))
+    emit("um_pallas_compiled", max_abs_diff=diff, ref_scale=scale)
+    signal.alarm(600)
+    m_p, t1p = marginal(update_matrices_pallas, (fx, fy, r0, r1, 6))
+    emit("um_pallas", marginal_ms=m_p * 1e3, latency_s=t1p,
+         speedup_vs_xla=m_x / m_p)
+
+    # ---------------- Farneback blur5 + updateFlow ----------------
+    m0 = _jax.block_until_ready(mref)
+
+    def bf_xla_g(m):
+        return update_flow(gaussian_blur5(m, 33, 33 / 2 * 0.3))
+
+    def bf_xla_b(m):
+        return update_flow(box_filter5(m, 16))
+
+    bfg = _jax.jit(bf_xla_g)
+    bfb = _jax.jit(bf_xla_b)
+    signal.alarm(600)
+    m_bg, _ = marginal(bfg, (m0,))
+    m_bb, _ = marginal(bfb, (m0,))
+    emit("blur5_xla", gaussian_marginal_ms=m_bg * 1e3, box_marginal_ms=m_bb * 1e3)
+
+    from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+        blur5_flow_pallas, blur5_flow_supports_pallas,
+    )
+    from opticalflow_ri_tpu.models.farneback import _blur_kernel
+
+    kg = _blur_kernel(33, 33 / 2 * 0.3)
+    if blur5_flow_supports_pallas(m0.shape, len(kg)):
+        signal.alarm(2400)
+        fxp, fyp = blur5_flow_pallas(m0, tuple(float(x) for x in kg), "mirror", 1.0)
+        fxr, fyr = bfg(m0)
+        diff = float(jnp.max(jnp.abs(fxp - fxr))) + float(jnp.max(jnp.abs(fyp - fyr)))
+        emit("blur5_pallas_compiled", max_abs_diff=diff)
+        signal.alarm(600)
+        m_pg, _ = marginal(
+            lambda m: blur5_flow_pallas(m, tuple(float(x) for x in kg), "mirror", 1.0),
+            (m0,),
+        )
+        emit("blur5_pallas", gaussian_marginal_ms=m_pg * 1e3,
+             speedup_vs_xla=m_bg / m_pg)
+    else:
+        emit("blur5_pallas", skipped="unsupported shape")
+
+    # ---------------- LK Gauss-Newton ----------------
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    u0 = jnp.zeros((h, w), jnp.float32)
+    lk_x = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="xla")
+    lk_p = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="pallas")
+    signal.alarm(900)
+    m_lx, t1lx = marginal(lk_x, (im1, im2, u0, u0))
+    emit("lk_xla", marginal_ms=m_lx * 1e3, latency_s=t1lx)
+    signal.alarm(2400)
+    up, vp, sp = lk_p(im1, im2, u0, u0)
+    ur, vr, sr = lk_x(im1, im2, u0, u0)
+    diff = float(jnp.max(jnp.abs(up - ur))) + float(jnp.max(jnp.abs(vp - vr)))
+    emit("lk_pallas_compiled", max_abs_diff=diff)
+    signal.alarm(900)
+    m_lp, t1lp = marginal(lk_p, (im1, im2, u0, u0))
+    emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
+         speedup_vs_xla=m_lx / m_lp)
+
+    # ---------------- end-to-end configs ----------------
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    for cfg in ("denseLK_Fs2_0", "Farneback_Fs0_0"):
+        fn = compiled_pipeline(cfg)
+        signal.alarm(1200)
+        m_c, t1c = marginal(fn, (im1, im2))
+        emit(f"e2e_xla_{cfg}", marginal_ms=m_c * 1e3, latency_s=t1c)
+
+    # The pallas-vs-xla dispatch is resolved at trace time from the env flag,
+    # so build a FRESH jit wrapper after setting it (compiled_pipeline's
+    # lru_cache would replay the XLA trace).
+    os.environ["OFRI_ENABLE_PALLAS"] = "1"
+    from opticalflow_ri_tpu.compile import pipeline_fn
+
+    for cfg in ("denseLK_Fs2_0", "Farneback_Fs0_0"):
+        fn = _jax.jit(pipeline_fn(cfg))
+        signal.alarm(2400)
+        m_c, t1c = marginal(fn, (im1, im2))
+        base = RESULTS[f"e2e_xla_{cfg}"]["marginal_ms"]
+        emit(f"e2e_pallas_{cfg}", marginal_ms=m_c * 1e3, latency_s=t1c,
+             speedup_vs_xla=base / (m_c * 1e3))
+
+    signal.alarm(0)
+    emit("done")
+
+
+if __name__ == "__main__":
+    main()
