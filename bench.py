@@ -75,13 +75,16 @@ def _force(u, v):
     return float(jnp.sum(u)) + float(jnp.sum(v))
 
 
-def time_config(name, d1, d2, repeats=3, chain=6):
+def time_config(name, d1, d2, repeats=5, chain=16):
     """Returns (latency_s, marginal_s, transfer_s, U, V).
 
     latency: single call incl. the host sync round trip.  marginal: extra cost
     of one more call in a pipelined stream ((t_K - t_1)/(K-1)) — dispatches are
     async and execute in order, so forcing the last output waits for all K;
-    this cancels the tunnel's fixed sync latency.
+    this cancels the tunnel's fixed sync latency.  The chain is long (16) so
+    the tunnel's ~ms sync jitter divides by K-1 and cannot swamp small
+    marginals (a chain of 6 once measured a negative marginal for a 2 ms
+    config).
     """
     from opticalflow_ri_tpu.compile import compiled_pipeline
 

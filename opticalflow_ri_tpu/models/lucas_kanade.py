@@ -51,71 +51,20 @@ import jax.numpy as jnp
 from jax import lax
 
 from opticalflow_ri_tpu.oracle.lucas_kanade import window_mask
+from opticalflow_ri_tpu.ops.window_sums import runs_from_mask as _runs_from_mask, wsum2d as _wsum2d
 
 _GRID = 32
 _D_EPS = 1.192092896e-07
 _STEP_EPS = 0.01
 
 
-def _runs_from_mask(mask: np.ndarray):
-    """Decompose a static 0/1 weight vector into maximal runs of ones."""
-    runs = []
-    start = None
-    for idx, m in enumerate(mask.tolist() + [0.0]):
-        if m != 0.0 and start is None:
-            start = idx
-        elif m == 0.0 and start is not None:
-            runs.append((start, idx - 1))
-            start = None
-    return tuple(runs)
-
-
-def _windowed_sum_axis(x, runs, half_window, axis, out_len):
-    """sum_k mask[k] * x[p + k - half_window] along ``axis``.  ``x`` covers
-    positions [-hw, out_len-1+GRID-1-hw] relative to the output origin.
-
-    Each mask run of length L is decomposed hierarchically: a base box of
-    width a ~= sqrt(L) built once, then b = L // a strided slices of it (plus
-    the remainder taps) — ~2*sqrt(L) static slice-adds that XLA fuses into a
-    single VPU pass.  This replaces the earlier cumsum-difference scheme: on
-    TPU a cumsum lowers to ~log2(n) full-array shifted-add passes, so the
-    fused O(sqrt(L)) form is both less HBM traffic and one kernel."""
-    size = x.shape[axis]
-    out = None
-    for lo, hi in runs:
-        L = hi - lo + 1
-        a = max(1, int(round(L ** 0.5)))
-        b = L // a
-        if a == 1:
-            base = x
-        else:
-            base = None
-            for i in range(a):
-                t = lax.slice_in_dim(x, i, size - a + 1 + i, axis=axis)
-                base = t if base is None else base + t
-        term = None
-        for j in range(b):
-            s = lo + a * j
-            t = lax.slice_in_dim(base, s, s + out_len, axis=axis)
-            term = t if term is None else term + t
-        for k in range(lo + a * b, hi + 1):
-            t = lax.slice_in_dim(x, k, k + out_len, axis=axis)
-            term = t if term is None else term + t
-        out = term if out is None else out + term
-    return out
-
-
-def _wsum2d(x, runs_y, runs_x, hw, out_h, out_w):
-    """Separable masked window sum of ``x`` (covering the padded off-domain)
-    down to the (out_h, out_w) pixel grid."""
-    t = _windowed_sum_axis(x, runs_x, hw, x.ndim - 1, out_w)
-    return _windowed_sum_axis(t, runs_y, hw, x.ndim - 2, out_h)
-
-
 def _lk_impl(h: int, w: int, max_shift: int) -> str:
-    """Static dispatch: band-resident Pallas GN loop (measured 1.8x the XLA
-    fori_loop on a v5e — scripts/pallas_ab_results.json) when the backend
-    policy allows, else the XLA fori_loop."""
+    """Static dispatch: XLA shift-plane build + band-resident Pallas GN loop
+    (measured 2.4x the XLA fori_loop on a v5e) when the backend policy
+    allows, else the XLA fori_loop.  The fully fused build+GN kernel
+    (impl="pallas_fused") measured SLOWER (5.9 vs 5.1 ms at 512^2 — the
+    in-VMEM band build pays ~2x redundant halo work that XLA's streamed
+    build amortises globally) and is explicit-opt-in only."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
     if not pallas_default_on():
@@ -188,18 +137,37 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     c1 = wsum(i_core * gx_core)
     c2 = wsum(i_core * gy_core)
 
-    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
+    if impl == "auto":
+        impl = _lk_impl(h, w, R)
+
     nshift = 2 * R + 1
     g_pair = jnp.stack([gx_core, gy_core])  # (2, core_h, core_w)
+
+    if impl == "pallas_fused":
+        from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_fused_pallas
+
+        jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        # J rows/cols in [-(hw+R), {h,w}-1 + (GRID-1-hw) + R]
+        lo = pad - hw - R
+        jslab = jpad[lo : lo + core_h + 2 * R, lo : lo + core_w + 2 * R]
+        px, py, status = lk_fused_pallas(
+            jslab, g_pair, ia11, ia12, ia22, c1, c2,
+            ok.astype(jnp.float32), jj + u0 - hw, ii + v0 - hw,
+            n_iter, R, hw, runs_y, runs_x,
+        )
+        u = jnp.where(ok, px + hw - jj, u0)
+        v = jnp.where(ok, py + hw - ii, v0)
+        status = jnp.where(ok, status, 0.0)
+        return u, v, status
+
+    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
     t_list = []
     for sy in range(-R, R + 1):
         for sx in range(-R, R + 1):
             js = jpad[oi + sy : oi + sy + core_h, oi + sx : oi + sx + core_w]
             # one window-sum pass covers both gradient stacks
             t_list.append(wsum(js[None] * g_pair))
-
-    if impl == "auto":
-        impl = _lk_impl(h, w, R)
 
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas

@@ -178,29 +178,10 @@ def main():
     emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
          speedup_vs_xla=m_lx / m_lp)
 
-    # ---------------- end-to-end configs ----------------
-    from opticalflow_ri_tpu.compile import compiled_pipeline
-
-    for cfg in ("denseLK_Fs2_0", "Farneback_Fs0_0"):
-        fn = compiled_pipeline(cfg)
-        signal.alarm(1200)
-        m_c, t1c = marginal(fn, (im1, im2))
-        emit(f"e2e_xla_{cfg}", marginal_ms=m_c * 1e3, latency_s=t1c)
-
-    # The pallas-vs-xla dispatch is resolved at trace time from the env flag,
-    # so build a FRESH jit wrapper after setting it (compiled_pipeline's
-    # lru_cache would replay the XLA trace).
-    os.environ["OFRI_ENABLE_PALLAS"] = "1"
-    from opticalflow_ri_tpu.compile import pipeline_fn
-
-    for cfg in ("denseLK_Fs2_0", "Farneback_Fs0_0"):
-        fn = _jax.jit(pipeline_fn(cfg))
-        signal.alarm(2400)
-        m_c, t1c = marginal(fn, (im1, im2))
-        base = RESULTS[f"e2e_xla_{cfg}"]["marginal_ms"]
-        emit(f"e2e_pallas_{cfg}", marginal_ms=m_c * 1e3, latency_s=t1c,
-             speedup_vs_xla=base / (m_c * 1e3))
-
+    # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
+    # resolved at trace time, and the inner solver jits cache their traces, so
+    # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per
+    # variant (run e2e_check.py with/without OFRI_DISABLE_PALLAS=1).
     signal.alarm(0)
     emit("done")
 

@@ -215,3 +215,53 @@ def test_hs_supports_pallas_gating():
     assert not hk.hs_supports_pallas((513, 512))   # sublane misalignment
     assert not hk.hs_supports_pallas((512, 500))   # lane misalignment
     assert not hk.hs_supports_pallas((2048, 2048))  # exceeds VMEM budget
+
+
+def test_lk_fused_pallas_matches_xla_interpret(monkeypatch):
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(5)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (64, 128)).astype(np.float32)
+    )
+    z = jnp.zeros((64, 128), jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, z, z, impl="xla")
+
+    orig = lki.lk_fused_pallas
+    monkeypatch.setattr(
+        lki, "lk_fused_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, z, z, impl="pallas_fused")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_lk_fused_pallas_asym_and_flow_init_interpret(monkeypatch):
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(6)
+    im1 = jnp.asarray(rng.uniform(0, 255, (32, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (0, 1), axis=(0, 1))
+    u0 = jnp.full((32, 128), 0.5, jnp.float32)
+    v0 = jnp.full((32, 128), -0.25, jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, u0, v0, asym=(1, 0, 0, 1), impl="xla")
+
+    orig = lki.lk_fused_pallas
+    monkeypatch.setattr(
+        lki, "lk_fused_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, u0, v0, asym=(1, 0, 0, 1),
+                                   impl="pallas_fused")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
