@@ -283,16 +283,19 @@ def main():
             print(f"# batched x{b}: {t*1e3:.1f} ms ({b*MPIX/t:.2f} Mpix/s)", file=sys.stderr)
         except Exception as e:
             details["batched"] = {"error": repr(e)}
-        try:
-            t, k = time_streamed("PyHSchunck_Fs3_4", d1, d2)
-            details["streamed"] = {
-                "config": "PyHSchunck_Fs3_4", "k": k, "seconds_per_pair": t,
-                "mpix_per_s": MPIX / t,
-            }
-            print(f"# streamed scan x{k}: {t*1e3:.2f} ms/pair ({MPIX/t:.2f} Mpix/s)", file=sys.stderr)
-        except Exception as e:
-            details["streamed"] = {"error": repr(e)}
-        _dump_details(details)
+        # on-device streaming over pair stacks — one config per solver family
+        details["streamed"] = {}
+        for sname in ("PyHSchunck_Fs3_4", "denseLK_Fs2_0", "Farneback_Fs0_0"):
+            try:
+                t, k = time_streamed(sname, d1, d2)
+                details["streamed"][sname] = {
+                    "k": k, "seconds_per_pair": t, "mpix_per_s": MPIX / t,
+                }
+                print(f"# streamed scan {sname} x{k}: {t*1e3:.2f} ms/pair "
+                      f"({MPIX/t:.2f} Mpix/s)", file=sys.stderr)
+            except Exception as e:
+                details["streamed"][sname] = {"error": repr(e)}
+            _dump_details(details)
 
     _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})

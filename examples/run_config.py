@@ -14,6 +14,17 @@ import argparse
 import os
 import sys
 
+# pick up the fast Pallas kernel path on the tunneled axon backend (the
+# interpreter must see this at start-up; see bench.py for the full note)
+if (
+    __name__ == "__main__"
+    and os.environ.get("PALLAS_AXON_REMOTE_COMPILE") is None
+    and os.environ.get("OFRI_DISABLE_PALLAS") != "1"
+    and "jax" not in sys.modules
+):
+    env = dict(os.environ, PALLAS_AXON_REMOTE_COMPILE="1")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np

@@ -98,9 +98,25 @@ def liu_shen_iteration(u, v, fields, h):
     return u_new, v_new
 
 
+def _ls_impl(shape) -> str:
+    """Static dispatch: the fused VMEM-resident kernel measured 3.1x the XLA
+    while_loop on a v5e (0.29 vs 0.90 ms, 512^2, max|d|~5e-10 —
+    scripts/pallas_ab_results.json) when the backend policy allows.  Unlike
+    Horn-Schunck (one stencil per iteration, XLA wins), Liu-Shen's twelve
+    3x3 stencils per iteration stream the fields from HBM twelve times under
+    XLA, which residency eliminates."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+
+    if not pallas_default_on():
+        return "xla"
+    from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import ls_supports_pallas
+
+    return "pallas" if ls_supports_pallas(shape) else "xla"
+
+
 @partial(jax.jit, static_argnames=("max_iter", "impl"))
 def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8,
-                   impl: str = "xla"):
+                   impl: str = "auto"):
     """Run the Liu-Shen fixed-point solve.  Component convention matches the
     reference's internal one (u along rows); see the adapter for the swap.
     ``impl="pallas"`` uses the fused VMEM-resident kernel (TPU only)."""
@@ -110,6 +126,9 @@ def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8,
     im2 = im2 / jnp.max(im2)
 
     fields = liu_shen_precompute(im1, im2, h)
+
+    if impl == "auto":
+        impl = _ls_impl(im1.shape)
 
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import liu_shen_iterate_pallas

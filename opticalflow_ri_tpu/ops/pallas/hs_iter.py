@@ -41,18 +41,56 @@ def _avg3x3_mirror(x):
     )
 
 
+def _avg3x3_mirror_roll(x, iy, ix):
+    """Same average via circular rotates + mirror border fixups: no padded
+    copy of the field is materialised per iteration (tpu.rotate keeps the
+    shifts in-register).  ``iy``/``ix`` are precomputed row/col iotas.
+
+    The mirror pad is separable, so shifting with mirror semantics composes:
+    shift_y then shift_x of the already-fixed row shift gives the diagonal
+    neighbours exactly."""
+    h, w = x.shape
+
+    def sh_y(a, d):  # a[i] = x[i+d] with mirror at the border
+        r = jnp.roll(a, -d, axis=0)
+        edge = a[1:2, :] if d < 0 else a[h - 2 : h - 1, :]
+        bad = 0 if d < 0 else h - 1
+        return jnp.where(iy == bad, jnp.broadcast_to(edge, (h, w)), r)
+
+    def sh_x(a, d):
+        r = jnp.roll(a, -d, axis=1)
+        edge = a[:, 1:2] if d < 0 else a[:, w - 2 : w - 1]
+        bad = 0 if d < 0 else w - 1
+        return jnp.where(ix == bad, jnp.broadcast_to(edge, (h, w)), r)
+
+    up = sh_y(x, -1)
+    dn = sh_y(x, 1)
+    return (
+        (up + dn + sh_x(x, -1) + sh_x(x, 1)) * _W_EDGE
+        + (sh_x(up, -1) + sh_x(up, 1) + sh_x(dn, -1) + sh_x(dn, 1)) * _W_DIAG
+    )
+
+
 def _hs_kernel(alpha_ref, fx_ref, fy_ref, ft_ref, u0_ref, v0_ref,
-               u_out, v_out, *, niter: int):
+               u_out, v_out, *, niter: int, variant: str = "roll"):
     fx = fx_ref[:]
     fy = fy_ref[:]
     ft = ft_ref[:]
     alpha = alpha_ref[0, 0]
     rdenom = 1.0 / (alpha * alpha + fx * fx + fy * fy)
 
+    h, w = fx.shape
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if variant == "roll":
+        avg = lambda a: _avg3x3_mirror_roll(a, iy, ix)
+    else:
+        avg = _avg3x3_mirror
+
     def body(_, uv):
         u, v = uv
-        u_avg = _avg3x3_mirror(u)
-        v_avg = _avg3x3_mirror(v)
+        u_avg = avg(u)
+        v_avg = avg(v)
         der = (fx * u_avg + fy * v_avg + ft) * rdenom
         return (u_avg - fx * der, v_avg - fy * der)
 
@@ -73,14 +111,15 @@ def hs_supports_pallas(shape) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("niter",))
-def hs_iterate_pallas(fx, fy, ft, u0, v0, alpha, niter: int):
+@partial(jax.jit, static_argnames=("niter", "variant"))
+def hs_iterate_pallas(fx, fy, ft, u0, v0, alpha, niter: int,
+                      variant: str = "roll"):
     """Run ``niter`` Jacobi iterations with the whole state VMEM-resident."""
     h, w = fx.shape
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_hs_kernel, niter=niter),
+        partial(_hs_kernel, niter=niter, variant=variant),
         out_shape=(
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
