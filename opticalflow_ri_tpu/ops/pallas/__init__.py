@@ -14,6 +14,15 @@ OFRI_ENABLE_PALLAS=1.  On the tunneled 'axon' backend, server-side Mosaic
 compiles hang the device, so Pallas only engages when the client-side compile
 path (PALLAS_AXON_REMOTE_COMPILE=1, read by the interpreter at start-up) is
 active.  OFRI_DISABLE_PALLAS=1 force-disables everything.
+
+Arbitrary image shapes: the LK GN, updateMatrices and blur5 kernels
+zero-pad their fields to the f32 (8, 128) tile and crop the outputs, so the
+fast path engages off the tile grid too (validated on hardware at 500x700:
+LK max|d| 3.4e-4 vs XLA, Farneback 2.6e-6 vs CPU).
+
+Known limitation: the policy keys on ``jax.default_backend()``, not the
+device a trace targets — running a solver on an explicit CPU device inside
+a TPU-default process needs OFRI_DISABLE_PALLAS=1.
 """
 
 import os as _os

@@ -33,10 +33,13 @@ from opticalflow_ri_tpu.ops.padding import pad2d
 
 def _blur5_flow_kernel(mp_ref, fx_out, fy_out, *, taps, rows: int, cols: int,
                        band: int, scale: float):
+    # rows/cols are the true dims; array shapes may be tile-aligned (cp) —
+    # padded pixels blur zeros and are cropped by the caller.
     i = pl.program_id(0)
     y0 = i * band
     n = len(taps)
     half = n // 2
+    cp = fx_out.shape[-1]
 
     # y-pass first, then x-pass — the same order as the stencil path
     # (gaussian_blur5/box_filter5 correlate axis=-2 then axis=-1), keeping
@@ -49,7 +52,7 @@ def _blur5_flow_kernel(mp_ref, fx_out, fy_out, *, taps, rows: int, cols: int,
 
     blur = None
     for j, w in enumerate(taps):
-        term = tmp[:, :, j : j + cols] * jnp.float32(w)
+        term = tmp[:, :, j : j + cp] * jnp.float32(w)
         blur = term if blur is None else blur + term
     if scale != 1.0:
         blur = blur * jnp.float32(scale)
@@ -61,11 +64,17 @@ def _blur5_flow_kernel(mp_ref, fx_out, fy_out, *, taps, rows: int, cols: int,
     fy_out[:] = (g22 * h1 - g12 * h2) * det_inv
 
 
+def _align2(h: int, w: int):
+    """Bottom/right zero-padding up to the f32 (8, 128) tile."""
+    return (-h) % 8, (-w) % 128
+
+
 def blur5_flow_supports_pallas(shape, ksize: int) -> bool:
     rows, cols = shape[-2], shape[-1]
+    ph, pw = _align2(rows, cols)
     half = ksize // 2
-    mp_bytes = 5 * (rows + 2 * half) * (cols + 2 * half) * 4
-    return rows % 8 == 0 and cols % 128 == 0 and mp_bytes <= 10 * 1024 * 1024
+    mp_bytes = 5 * (rows + ph + 2 * half) * (cols + pw + 2 * half) * 4
+    return mp_bytes <= 10 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))
@@ -77,23 +86,28 @@ def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
     n = len(taps)
     half = n // 2
     _, rows, cols = m.shape
-    while band > 8 and rows % band != 0:
+    ph, pw = _align2(rows, cols)
+    rp, cp = rows + ph, cols + pw
+    while band > 8 and rp % band != 0:
         band //= 2
-    assert rows % band == 0
+    assert rp % band == 0
 
+    # semantic border pad first, then the tile-alignment zero pad (true
+    # pixels only ever read the semantic halo; padded outputs are cropped)
     mp = pad2d(m, ((half, half), (half, half)), mode)
+    mp = jnp.pad(mp, ((0, 0), (0, ph), (0, pw)))
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    band2 = pl.BlockSpec((band, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    band2 = pl.BlockSpec((band, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    fxp, fyp = pl.pallas_call(
         partial(_blur5_flow_kernel, taps=taps, rows=rows, cols=cols,
                 band=band, scale=float(scale)),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32),
         ),
-        grid=(rows // band,),
+        grid=(rp // band,),
         in_specs=[vmem],
         out_specs=(band2, band2),
         compiler_params=pltpu.CompilerParams(
@@ -106,3 +120,4 @@ def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
         ),
         interpret=interpret,
     )(mp.astype(jnp.float32))
+    return fxp[:rows, :cols], fyp[:rows, :cols]

@@ -49,8 +49,12 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
                   c2_ref, act0_ref, px0_ref, py0_ref, px_out, py_out,
                   status_out, *, n_iter: int, R: int, hw: int, h: int, w: int,
                   band: int):
+    # h/w are the TRUE image dims (for the out-of-bounds bail); array shapes
+    # may be zero-padded up to the (8, 128) tile (wp below) — padded pixels
+    # run the loop on zero fields and are cropped by the caller.
     i = pl.program_id(0)
     y0 = i * band
+    wp = px0_ref.shape[-1]
 
     nshift = 2 * R + 1
     ia11 = ia11_ref[:]
@@ -60,8 +64,8 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
     c2 = c2_ref[:]
 
     # Mosaic rejects float iota; build int32 and convert.
-    jj = lax.broadcasted_iota(jnp.int32, (band, w), 1).astype(jnp.float32)
-    ii = lax.broadcasted_iota(jnp.int32, (band, w), 0).astype(jnp.float32) + y0
+    jj = lax.broadcasted_iota(jnp.int32, (band, wp), 1).astype(jnp.float32)
+    ii = lax.broadcasted_iota(jnp.int32, (band, wp), 0).astype(jnp.float32) + y0
 
     def gn_body(_, state):
         # all carries are f32 vectors (incl. the active/status masks):
@@ -85,12 +89,12 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
             jnp.maximum(0.0, 1.0 - jnp.abs(vc - float(sy - R)))
             for sy in range(nshift)
         ]
-        s1 = jnp.zeros((band, w), jnp.float32)
-        s2 = jnp.zeros((band, w), jnp.float32)
+        s1 = jnp.zeros((band, wp), jnp.float32)
+        s2 = jnp.zeros((band, wp), jnp.float32)
         for sx in range(nshift):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(uc - float(sx - R)))
-            ty1 = jnp.zeros((band, w), jnp.float32)
-            ty2 = jnp.zeros((band, w), jnp.float32)
+            ty1 = jnp.zeros((band, wp), jnp.float32)
+            ty2 = jnp.zeros((band, wp), jnp.float32)
             for sy in range(nshift):
                 ty1 = ty1 + wys[sy] * t1_ref[sy * nshift + sx]
                 ty2 = ty2 + wys[sy] * t2_ref[sy * nshift + sx]
@@ -114,7 +118,7 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
         px0_ref[:],
         py0_ref[:],
         act0_ref[:],
-        jnp.ones((band, w), jnp.float32),
+        jnp.ones((band, wp), jnp.float32),
     )
     px, py, _, status = lax.fori_loop(0, n_iter, gn_body, state0)
     px_out[:] = px
@@ -122,11 +126,19 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
     status_out[:] = status
 
 
+def _align2(h: int, w: int):
+    """Bottom/right zero-padding up to the f32 (8, 128) tile."""
+    return (-h) % 8, (-w) % 128
+
+
 def lk_gn_supports_pallas(h: int, w: int, max_shift: int) -> bool:
-    """Banded T blocks (two stacks) must fit VMEM with room for the scalars."""
+    """Banded T blocks (two stacks) must fit VMEM with room for the scalars
+    (arbitrary shapes are tile-aligned by zero-pad + crop inside the
+    wrapper)."""
     nshift2 = (2 * max_shift + 1) ** 2
-    t_block_bytes = 2 * nshift2 * 8 * w * 4
-    return h % 8 == 0 and w % 128 == 0 and t_block_bytes <= 10 * 1024 * 1024
+    wp = w + _align2(h, w)[1]
+    t_block_bytes = 2 * nshift2 * 8 * wp * 4
+    return t_block_bytes <= 10 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("n_iter", "R", "hw", "band", "interpret"))
@@ -137,24 +149,30 @@ def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
 
     ``t1``/``t2`` are (nshift^2, H, W) shift-plane stacks; the remaining
     fields are (H, W).  ``ok`` is the non-singular-window mask (bool).
+    Arbitrary shapes: inputs are zero-padded to the f32 (8, 128) tile and the
+    outputs cropped — padded pixels solve on zero fields, which is harmless.
     """
     s_dim, h, w = t1.shape
-    while band > 8 and h % band != 0:
+    ph, pw = _align2(h, w)
+    pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw)))
+    pad3 = lambda x: jnp.pad(x, ((0, 0), (0, ph), (0, pw)))
+    hp, wp = h + ph, w + pw
+    while band > 8 and hp % band != 0:
         band //= 2
-    assert h % band == 0
+    assert hp % band == 0
 
-    f32 = lambda x: x.astype(jnp.float32)
-    band2 = pl.BlockSpec((band, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    bandt = pl.BlockSpec((s_dim, band, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    f32 = lambda x: pad2(x.astype(jnp.float32))
+    band2 = pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bandt = pl.BlockSpec((s_dim, band, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         partial(_lk_gn_kernel, n_iter=n_iter, R=R, hw=hw, h=h, w=w, band=band),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
-        grid=(h // band,),
+        grid=(hp // band,),
         in_specs=[bandt, bandt] + [band2] * 8,
         out_specs=(band2, band2, band2),
         compiler_params=pltpu.CompilerParams(
@@ -167,10 +185,11 @@ def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
         ),
         interpret=interpret,
     )(
-        f32(t1), f32(t2), f32(ia11), f32(ia12), f32(ia22), f32(c1), f32(c2),
-        ok.astype(jnp.float32), f32(px0), f32(py0),
+        pad3(t1.astype(jnp.float32)), pad3(t2.astype(jnp.float32)),
+        f32(ia11), f32(ia12), f32(ia22), f32(c1), f32(c2),
+        pad2(ok.astype(jnp.float32)), f32(px0), f32(py0),
     )
-    return out
+    return tuple(o[:h, :w] for o in out)
 
 
 def _lk_fused_kernel(jslab_ref, g_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,

@@ -32,9 +32,14 @@ from opticalflow_ri_tpu.models.farneback import BORDER_RAMP
 
 def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
                             *, R: int, rows: int, cols: int, band: int):
-    """One row-band: dense tent contraction from VMEM + fused M assembly."""
+    """One row-band: dense tent contraction from VMEM + fused M assembly.
+
+    rows/cols are the TRUE image dims (for the inside mask and border ramp);
+    array shapes may be zero-padded to the (8, 128) tile (cp below) — padded
+    pixels are cropped by the caller."""
     i = pl.program_id(0)
     y0 = i * band  # first global row of this band
+    cp = fx_ref.shape[-1]
 
     flowx = fx_ref[:]
     flowy = fy_ref[:]
@@ -49,18 +54,18 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
     # static in-register slices per shift.  Same summation order as the XLA
     # path (sy-major, sx-minor) keeps results bit-identical.
     win = r1p_ref[:, pl.ds(y0, band + nshift - 1), :]
-    s = jnp.zeros((5, band, cols), jnp.float32)
+    s = jnp.zeros((5, band, cp), jnp.float32)
     for sy in range(nshift):
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
         rows_s = win[:, sy : sy + band, :]
         for sx in range(nshift):
             w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
-            s = s + w[None] * rows_s[:, :, sx : sx + cols]
+            s = s + w[None] * rows_s[:, :, sx : sx + cp]
 
     # global pixel coordinates of this band
     # Mosaic rejects float iota; build int32 and convert.
-    ys = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 0).astype(jnp.float32) + y0
-    xs = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 0).astype(jnp.float32) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 1).astype(jnp.float32)
     fx_pos = xs + flowx
     fy_pos = ys + flowy
     x1i = jnp.floor(fx_pos)
@@ -88,8 +93,8 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
             jnp.where(d < 5, jnp.float32(BORDER_RAMP[2]), jnp.float32(1.0)),
         )
 
-    xi = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 1)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (band, cols), 0) + y0
+    xi = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 0) + y0
     scale = (
         ramp_at(xi) * ramp_at(yi)
         * ramp_at(cols - xi - 1) * ramp_at(rows - yi - 1)
@@ -107,19 +112,22 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
     m_ref[4] = r6 * r2 + r5 * r3
 
 
+def _align2(h: int, w: int):
+    """Bottom/right zero-padding up to the f32 (8, 128) tile."""
+    return (-h) % 8, (-w) % 128
+
+
 def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
-    """Banded kernel needs R1 whole in VMEM plus a band working set."""
+    """Banded kernel needs R1 whole in VMEM plus a band working set
+    (arbitrary shapes are tile-aligned by zero-pad + crop in the wrapper)."""
     rows, cols = shape[-2], shape[-1]
     if sample_max_shift is None:
         return False
-    r1p_bytes = 5 * (rows + 2 * sample_max_shift + 1) * (
-        cols + 2 * sample_max_shift + 1
+    ph, pw = _align2(rows, cols)
+    r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
+        cols + pw + 2 * sample_max_shift + 1
     ) * 4
-    return (
-        rows % 8 == 0
-        and cols % 128 == 0
-        and r1p_bytes <= 8 * 1024 * 1024
-    )
+    return r1p_bytes <= 8 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
@@ -128,23 +136,31 @@ def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 6,
     """Drop-in replacement for models.farneback.update_matrices (dense path)."""
     R = int(sample_max_shift)
     _, rows, cols = r0.shape
-    while band > 8 and rows % band != 0:
+    ph, pw = _align2(rows, cols)
+    rp, cp = rows + ph, cols + pw
+    while band > 8 and rp % band != 0:
         band //= 2
-    band = min(band, rows)
-    assert rows % band == 0, "update_matrices_pallas requires rows % 8 == 0"
+    band = min(band, rp)
+    assert rp % band == 0
+    # semantic edge pad first (the R-halo), THEN the tile-alignment zero pad
+    # (padded pixels are outside the inside-mask and cropped anyway)
     r1p = jnp.pad(r1, ((0, 0), (R, R + 1), (R, R + 1)), mode="edge")
+    r1p = jnp.pad(r1p, ((0, 0), (0, ph), (0, pw)))
+    r0 = jnp.pad(r0, ((0, 0), (0, ph), (0, pw)))
+    flowx = jnp.pad(flowx, ((0, ph), (0, pw)))
+    flowy = jnp.pad(flowy, ((0, ph), (0, pw)))
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     band_spec = lambda nch: pl.BlockSpec(
-        (nch, band, cols), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (nch, band, cp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
-    band2 = pl.BlockSpec((band, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    band2 = pl.BlockSpec((band, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     nshift = 2 * R + 1
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_update_matrices_kernel, R=R, rows=rows, cols=cols, band=band),
-        out_shape=jax.ShapeDtypeStruct((5, rows, cols), jnp.float32),
-        grid=(pl.cdiv(rows, band),),
+        out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
+        grid=(pl.cdiv(rp, band),),
         in_specs=[vmem, band_spec(5), band2, band2],
         out_specs=band_spec(5),
         compiler_params=pltpu.CompilerParams(
@@ -157,3 +173,4 @@ def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 6,
         ),
         interpret=interpret,
     )(r1p, r0, flowx.astype(jnp.float32), flowy.astype(jnp.float32))
+    return out[:, :rows, :cols]

@@ -201,12 +201,12 @@ def test_pallas_supports_gating_new_kernels():
 
     assert update_matrices_supports_pallas((5, 512, 512), 6)
     assert not update_matrices_supports_pallas((5, 512, 512), None)  # gather path
-    assert not update_matrices_supports_pallas((5, 515, 512), 6)
+    assert update_matrices_supports_pallas((5, 515, 512), 6)  # tile-align pad
     assert not update_matrices_supports_pallas((5, 2048, 2048), 6)  # VMEM budget
 
     assert lk_gn_supports_pallas(512, 512, 6)
-    assert not lk_gn_supports_pallas(513, 512, 6)
-    assert not lk_gn_supports_pallas(512, 500, 6)
+    assert lk_gn_supports_pallas(513, 512, 6)   # tile-align pad
+    assert lk_gn_supports_pallas(512, 500, 6)   # tile-align pad
     assert not lk_gn_supports_pallas(512, 4096, 6)  # T band exceeds VMEM
 
 
@@ -265,3 +265,60 @@ def test_lk_fused_pallas_asym_and_flow_init_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_lk_gn_pallas_odd_shape_interpret(monkeypatch):
+    """Tile-alignment padding: kernels accept shapes off the (8, 128) grid."""
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(7)
+    im1 = jnp.asarray(rng.uniform(0, 255, (60, 130)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 1), axis=(0, 1))
+    z = jnp.zeros((60, 130), jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, z, z, impl="xla")
+
+    orig = lki.lk_gn_iterate_pallas
+    monkeypatch.setattr(
+        lki, "lk_gn_iterate_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, z, z, impl="pallas")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_farneback_um_blur5_pallas_odd_shape_interpret():
+    """update_matrices + blur5 kernels on a shape off the (8, 128) grid."""
+    from opticalflow_ri_tpu.models.farneback import (
+        poly_expansion, update_matrices, gaussian_blur5, update_flow,
+        _blur_kernel,
+    )
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
+    from opticalflow_ri_tpu.ops.pallas.blur5_flow import blur5_flow_pallas
+
+    rng = np.random.default_rng(8)
+    im1 = jnp.asarray(rng.uniform(0, 255, (44, 150)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1))
+    r0 = poly_expansion(im1, 5, 1.1)
+    r1 = poly_expansion(im2, 5, 1.1)
+    fx = jnp.asarray(rng.uniform(-3, 3, (44, 150)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-3, 3, (44, 150)).astype(np.float32))
+
+    m_x = update_matrices(fx, fy, r0, r1, 6)
+    m_p = update_matrices_pallas(fx, fy, r0, r1, 6, interpret=True)
+    # padded-lane fusion reassociates f32 sums at the ulp level
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                               rtol=1e-6, atol=1e-4)
+
+    k = _blur_kernel(15, 15 / 2 * 0.3)
+    fx_x, fy_x = update_flow(gaussian_blur5(m_x, 15, 15 / 2 * 0.3))
+    fx_p, fy_p = blur5_flow_pallas(m_x, tuple(float(x) for x in k), "mirror",
+                                   1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(fx_p), np.asarray(fx_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fy_p), np.asarray(fy_x),
+                               rtol=1e-5, atol=1e-5)
