@@ -218,22 +218,33 @@ def _um_impl(shape, sample_max_shift=6) -> str:
     return "pallas" if update_matrices_supports_pallas(shape, sample_max_shift) else "xla"
 
 
-def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6):
+def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6,
+                             impl: str = "auto"):
     """update_matrices with static impl selection (trace-time env + shape)."""
-    if _um_impl(r0.shape, sample_max_shift) == "pallas":
+    if impl == "auto":
+        impl = _um_impl(r0.shape, sample_max_shift)
+    elif impl == "pallas":
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_supports_pallas,
+        )
+
+        if not update_matrices_supports_pallas(r0.shape, sample_max_shift):
+            impl = "xla"
+    if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
 
         return update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift)
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
 
 
-def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool):
+def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
+                        impl: str = "auto"):
     """window-blur M then solve for flow, fused in one Pallas pass (measured
     ~5x the stencil + elementwise path on a v5e, bit-identical —
     scripts/pallas_ab_results.json) when the backend policy allows."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    if pallas_default_on():
+    if impl == "pallas" or (impl == "auto" and pallas_default_on()):
         from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
             blur5_flow_pallas, blur5_flow_supports_pallas,
         )
@@ -288,12 +299,19 @@ def _level_plan(rows, cols, pyr_scale, levels):
 @partial(
     jax.jit,
     static_argnames=("window_size", "n_iters", "poly_n", "poly_sigma",
-                     "use_gaussian", "pyr_scale", "pyr_levels"),
+                     "use_gaussian", "pyr_scale", "pyr_levels", "impl"),
 )
 def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
                     poly_sigma=1.5, use_gaussian=True, pyr_scale=0.5,
-                    pyr_levels=1):
-    """Whole Farneback pipeline as one XLA program."""
+                    pyr_levels=1, impl: str = "auto"):
+    """Whole Farneback pipeline as one XLA program.  ``impl`` picks the
+    kernel layer for updateMatrices/blur5 ("auto" consults the backend
+    policy at trace time; resolve it OUTSIDE any containing jit if the
+    decision must be part of this jit's cache key — see the adapter)."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+
+    if impl == "auto":
+        impl = "pallas" if pallas_default_on() else "xla"
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     u0 = u0.astype(jnp.float32)
@@ -320,11 +338,11 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
             poly_n, poly_sigma,
         )
 
-        m = update_matrices_dispatch(fx, fy, ra, rb)
+        m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
         for i in range(n_iters):
-            fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian)
+            fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian, impl=impl)
             if i < n_iters - 1:
-                m = update_matrices_dispatch(fx, fy, ra, rb)
+                m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
         prev = (fx, fy)
 
     return prev
@@ -352,12 +370,17 @@ class FarnebackAdapter:
         self.provideGenericPyramidalDefaults = provideGenericPyramidalDefaults
 
     def compute(self, im1, im2, U, V):
+        from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+
+        # impl resolved HERE (trace time of any outer jit) so the inner jit's
+        # cache key reflects the dispatch decision (e.g. force_xla contexts)
+        impl = "pallas" if pallas_default_on() else "xla"
         fx, fy = farneback_solve(
             jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(U), jnp.asarray(V),
             window_size=self.windowSize, n_iters=self.numIters,
             poly_n=self.polyN, poly_sigma=float(self.polySigma),
             use_gaussian=self.useGaussianFilter, pyr_scale=float(self.pyrScale),
-            pyr_levels=self.pyramidalLevels,
+            pyr_levels=self.pyramidalLevels, impl=impl,
         )
         # the reference reports no numeric error from this solver (:602)
         return fx, fy, "Unknown"

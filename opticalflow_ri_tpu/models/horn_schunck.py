@@ -53,16 +53,13 @@ def _pick_impl(shape) -> str:
     """
     import os
 
-    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+
+    # opt-in env gate AND the backend policy (covers cpu, force_xla, disable)
+    if os.environ.get("OFRI_ENABLE_PALLAS") != "1" or not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
 
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if backend == "cpu":
-        return "xla"
     return "pallas" if hs_supports_pallas(shape) else "xla"
 
 

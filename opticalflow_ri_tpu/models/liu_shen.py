@@ -164,9 +164,12 @@ class LiuShenOpticalFlowAlgoAdapter:
         self.alpha = alpha
 
     def compute(self, im1, im2, U, V):
+        im1 = jnp.asarray(im1)
+        # impl resolved HERE (trace time of any outer jit) so the inner jit's
+        # cache key reflects the dispatch decision (e.g. force_xla contexts)
         rv, ru, err = liu_shen_solve(
-            jnp.asarray(im1), jnp.asarray(im2), float(self.alpha),
-            jnp.asarray(V), jnp.asarray(U),
+            im1, jnp.asarray(im2), float(self.alpha),
+            jnp.asarray(V), jnp.asarray(U), impl=_ls_impl(im1.shape),
         )
         return [ru, rv, err]
 

@@ -281,10 +281,14 @@ class DenseLucasKanadeAdapter:
 
     def compute(self, im1, im2, U, V):
         asym = evaluate_vorticity_asym(U, V, self.enableVorticityEnhancement)
+        im1 = jnp.asarray(im1)
+        # impl resolved HERE (trace time of any outer jit) so the inner jit's
+        # cache key reflects the dispatch decision (e.g. force_xla contexts)
+        impl = _lk_impl(im1.shape[0], im1.shape[1], self.max_shift)
         u, v, _ = lk_dense_solve(
-            jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(U), jnp.asarray(V),
+            im1, jnp.asarray(im2), jnp.asarray(U), jnp.asarray(V),
             half_window=self.halfWindow, n_iter=self.Niter, asym=asym,
-            max_shift=self.max_shift,
+            max_shift=self.max_shift, impl=impl,
         )
         # The reference returns its calcErr flag as the "error" (level 0 -> True).
         return u, v, True

@@ -25,11 +25,34 @@ device a trace targets — running a solver on an explicit CPU device inside
 a TPU-default process needs OFRI_DISABLE_PALLAS=1.
 """
 
+import contextlib as _contextlib
 import os as _os
+
+_FORCE_XLA_DEPTH = 0
+
+
+@_contextlib.contextmanager
+def force_xla():
+    """Trace-time override: dispatch every solver to its XLA path.
+
+    Used while tracing GSPMD auto-sharded pipelines — XLA's SPMD partitioner
+    cannot partition a Pallas custom call (it would replicate the whole
+    computation on every device), whereas the plain XLA ops partition into
+    halo exchanges and collectives.  The hand-tuned shard_map solvers don't
+    need this: inside shard_map a kernel runs on the local shard, which is
+    exactly right."""
+    global _FORCE_XLA_DEPTH
+    _FORCE_XLA_DEPTH += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA_DEPTH -= 1
 
 
 def pallas_default_on() -> bool:
     """True when the measured-faster Pallas kernels should engage."""
+    if _FORCE_XLA_DEPTH:
+        return False
     if _os.environ.get("OFRI_DISABLE_PALLAS") == "1":
         return False
     import jax

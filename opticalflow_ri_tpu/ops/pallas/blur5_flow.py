@@ -79,7 +79,10 @@ def blur5_flow_supports_pallas(shape, ksize: int) -> bool:
 
 @partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))
 def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
-                      band: int = 64, interpret: bool = False):
+                      band: int = 16, interpret: bool = False):
+    # band 16 keeps the scoped-VMEM footprint under XLA's ~18 MB cap for
+    # custom calls inside while/scan bodies (observed: band 64 requested
+    # 27 MB inside lax.scan and failed to allocate)
     """Blur the 5-plane field with the separable 1-D ``kernel`` (border
     ``mode``) and solve for flow; returns (flowx, flowy)."""
     taps = tuple(float(w) for w in kernel)

@@ -37,9 +37,15 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False):
         fn = jax.vmap(fn)
 
     def wrapped(im1, im2):
+        from opticalflow_ri_tpu.ops.pallas import force_xla
+
         im1 = jax.lax.with_sharding_constraint(im1, sharding)
         im2 = jax.lax.with_sharding_constraint(im2, sharding)
-        u, v = fn(im1, im2)
+        # GSPMD cannot partition Pallas custom calls (it would replicate the
+        # whole solve on every device); trace the XLA ops, which partition
+        # into halo exchanges and collectives.
+        with force_xla():
+            u, v = fn(im1, im2)
         return (
             jax.lax.with_sharding_constraint(u, sharding),
             jax.lax.with_sharding_constraint(v, sharding),

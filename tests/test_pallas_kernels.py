@@ -322,3 +322,27 @@ def test_farneback_um_blur5_pallas_odd_shape_interpret():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fy_p), np.asarray(fy_x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_policy_force_xla(monkeypatch):
+    """force_xla() vetoes the dispatch even when the backend would allow it."""
+    import jax as _jax
+    import opticalflow_ri_tpu.ops.pallas as pp
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert pp.pallas_default_on()
+    with pp.force_xla():
+        assert not pp.pallas_default_on()
+        with pp.force_xla():
+            assert not pp.pallas_default_on()
+        assert not pp.pallas_default_on()
+    assert pp.pallas_default_on()
+
+    monkeypatch.setenv("OFRI_DISABLE_PALLAS", "1")
+    assert not pp.pallas_default_on()
+    monkeypatch.delenv("OFRI_DISABLE_PALLAS")
+    monkeypatch.setattr(_jax, "default_backend", lambda: "axon")
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    assert not pp.pallas_default_on()  # server-side Mosaic compiles wedge
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    assert pp.pallas_default_on()
