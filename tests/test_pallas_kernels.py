@@ -139,7 +139,7 @@ def test_farneback_blur5_flow_pallas_full_solve_interpret(monkeypatch):
 
     orig_kernel = fbm._blur_kernel
 
-    def patched_dispatch(m, window_size, use_gaussian):
+    def patched_dispatch(m, window_size, use_gaussian, **kwargs):
         if use_gaussian:
             k = orig_kernel(window_size, window_size / 2 * 0.3)
             mode, scale = "mirror", 1.0
@@ -174,7 +174,7 @@ def test_farneback_blur5_flow_pallas_box_filter_interpret(monkeypatch):
 
     orig_kernel = fbm._blur_kernel
 
-    def patched_dispatch(m, window_size, use_gaussian):
+    def patched_dispatch(m, window_size, use_gaussian, **kwargs):
         if use_gaussian:
             k = orig_kernel(window_size, window_size / 2 * 0.3)
             mode, scale = "mirror", 1.0
