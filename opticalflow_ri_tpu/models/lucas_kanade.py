@@ -74,10 +74,66 @@ def _lk_impl(h: int, w: int, max_shift: int) -> str:
     return "pallas" if lk_gn_supports_pallas(h, w, max_shift) else "xla"
 
 
-@partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift", "impl"))
+def _lk_error_map(ipad, jpad, px, py, ok, hw, win, wgt, pad, h, w):
+    """Weighted SAD error map of the final warped window — exact semantics of
+    the CL kernel's GetError pass (ref: src/pyrlkDenseLargeW.cl:265-269,
+    :617-667): bilinear-sample J at the post-iteration window positions over
+    the 32x32 grid, quantise both operands as (x*16384+256)/512, accumulate
+    weighted |diff|, divide by 32*win*win.  Pixels with a singular structure
+    tensor keep err=0 (the kernel returns before writing err; the host buffer
+    is zero-initialised, ref: src/denseLucasKanade_PyCL.py:146)."""
+    emask = jnp.asarray(
+        (window_mask(win, 0, 0)[:, None] * window_mask(win, 0, 0)[None, :]) * wgt
+    )
+    hp, wp = jpad.shape
+    rr = jnp.arange(_GRID + 1, dtype=jnp.int32)
+    quant = lambda p: ((p * 16384.0) + 256.0) / 512.0
+    ipch = quant(ipad)
+    jq = quant(jpad)
+
+    block = 16 if h % 16 == 0 else h
+    rows = []
+    for r0 in range(0, h, block):
+        pxc = px[r0 : r0 + block]
+        pyc = py[r0 : r0 + block]
+        x0 = jnp.floor(pxc).astype(jnp.int32)
+        y0 = jnp.floor(pyc).astype(jnp.int32)
+        fx = (pxc - x0)[:, :, None, None]
+        fy = (pyc - y0)[:, :, None, None]
+        iy = jnp.clip(y0 + pad, 0, hp - (_GRID + 1))
+        ix = jnp.clip(x0 + pad, 0, wp - (_GRID + 1))
+        jwin = jq[
+            iy[:, :, None, None] + rr[None, None, :, None],
+            ix[:, :, None, None] + rr[None, None, None, :],
+        ]
+        js = (
+            (1 - fy) * (1 - fx) * jwin[:, :, :-1, :-1]
+            + (1 - fy) * fx * jwin[:, :, :-1, 1:]
+            + fy * (1 - fx) * jwin[:, :, 1:, :-1]
+            + fy * fx * jwin[:, :, 1:, 1:]
+        )
+        # I windows are at static offsets: pch[b,j,r,c] = ipad[r0+b+pad-hw+r, j+pad-hw+c]
+        ib = lax.broadcasted_iota(jnp.int32, (pxc.shape[0], w), 0) + (r0 + pad - hw)
+        jb = lax.broadcasted_iota(jnp.int32, (pxc.shape[0], w), 1) + (pad - hw)
+        rr32 = rr[: _GRID]
+        pch = ipch[
+            ib[:, :, None, None] + rr32[None, None, :, None],
+            jb[:, :, None, None] + rr32[None, None, None, :],
+        ]
+        rows.append(jnp.einsum("hwrc,rc->hw", jnp.abs(js - pch), emask))
+    sad = jnp.concatenate(rows, axis=0)
+    return jnp.where(ok, sad / jnp.float32(_GRID * win * win), 0.0)
+
+
+@partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift",
+                                   "impl", "calc_err"))
 def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
-                   asym=(0, 0, 0, 0), max_shift: int = 6, impl: str = "auto"):
-    """Dense LK over a full image; returns (u, v, status)."""
+                   asym=(0, 0, 0, 0), max_shift: int = 6, impl: str = "auto",
+                   calc_err: bool = False):
+    """Dense LK over a full image; returns (u, v, status) — or
+    (u, v, status, err) with ``calc_err=True`` (the reference kernel's
+    GetError SAD map, computed at pyramid level 0, ref:
+    src/denseLucasKanade_PyCL.py:121-123)."""
     im1 = im1.astype(jnp.float32)
     im2 = im2.astype(jnp.float32)
     u0 = u0.astype(jnp.float32)
@@ -156,10 +212,8 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
             ok.astype(jnp.float32), jj + u0 - hw, ii + v0 - hw,
             n_iter, R, hw, runs_y, runs_x,
         )
-        u = jnp.where(ok, px + hw - jj, u0)
-        v = jnp.where(ok, py + hw - ii, v0)
-        status = jnp.where(ok, status, 0.0)
-        return u, v, status
+        return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
+                          hw, win, wx, wy, pad, h, w, calc_err)
 
     # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
     t_list = []
@@ -179,10 +233,8 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
             t_all[0], t_all[1], ia11, ia12, ia22,
             c1, c2, ok, jj + u0 - hw, ii + v0 - hw, n_iter, R, hw,
         )
-        u = jnp.where(ok, px + hw - jj, u0)
-        v = jnp.where(ok, py + hw - ii, v0)
-        status = jnp.where(ok, status, 0.0)
-        return u, v, status
+        return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
+                          hw, win, wx, wy, pad, h, w, calc_err)
 
     # XLA path: planes laid out shift-minor (H, W, nshift^2) so the
     # per-iteration reduction runs over VPU lanes.
@@ -239,10 +291,20 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
         0, n_iter, gn_body, (jj + u0 - hw, ii + v0 - hw, ok, status0)
     )
 
+    return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
+                      hw, win, wx, wy, pad, h, w, calc_err)
+
+
+def _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
+               hw, win, wx, wy, pad, h, w, calc_err):
     u = jnp.where(ok, px + hw - jj, u0)
     v = jnp.where(ok, py + hw - ii, v0)
     status = jnp.where(ok, status, 0.0)
-    return u, v, status
+    if not calc_err:
+        return u, v, status
+    wgt = wy[:, None] * wx[None, :]
+    err = _lk_error_map(ipad, jpad, px, py, ok, hw, win, wgt, pad, h, w)
+    return u, v, status, err
 
 
 def evaluate_vorticity_asym(u, v, enable: bool):
@@ -272,12 +334,18 @@ class DenseLucasKanadeAdapter:
     def __init__(self, Niter: int = 5, halfWindow: int = 13,
                  provideGenericPyramidalDefaults: bool = True,
                  enableVorticityEnhancement: bool = False,
-                 max_shift: int = 6):
+                 max_shift: int = 6, computeErrorMap: bool = False):
         self.Niter = int(Niter)
         self.halfWindow = int(halfWindow)
         self.provideGenericPyramidalDefaults = provideGenericPyramidalDefaults
         self.enableVorticityEnhancement = enableVorticityEnhancement
         self.max_shift = int(max_shift)
+        # Opt-in: the reference kernel computes its GetError SAD map at level 0
+        # but the host discards the buffer (src/denseLucasKanade_PyCL.py:166-169
+        # copies it out and never uses it); when enabled here the map is kept
+        # on .lastErrorMap instead of widening the adapter-protocol return.
+        self.computeErrorMap = bool(computeErrorMap)
+        self.lastErrorMap = None
 
     def compute(self, im1, im2, U, V):
         asym = evaluate_vorticity_asym(U, V, self.enableVorticityEnhancement)
@@ -285,11 +353,14 @@ class DenseLucasKanadeAdapter:
         # impl resolved HERE (trace time of any outer jit) so the inner jit's
         # cache key reflects the dispatch decision (e.g. force_xla contexts)
         impl = _lk_impl(im1.shape[0], im1.shape[1], self.max_shift)
-        u, v, _ = lk_dense_solve(
+        out = lk_dense_solve(
             im1, jnp.asarray(im2), jnp.asarray(U), jnp.asarray(V),
             half_window=self.halfWindow, n_iter=self.Niter, asym=asym,
-            max_shift=self.max_shift, impl=impl,
+            max_shift=self.max_shift, impl=impl, calc_err=self.computeErrorMap,
         )
+        if self.computeErrorMap:
+            self.lastErrorMap = out[3]
+        u, v = out[0], out[1]
         # The reference returns its calcErr flag as the "error" (level 0 -> True).
         return u, v, True
 

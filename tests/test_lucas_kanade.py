@@ -131,3 +131,45 @@ def test_lk_odd_shapes():
         u, v, st = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z), jnp.asarray(z), n_iter=2)
         ou, ov, ost, _ = lk_dense(im1, im2, z, z, n_iter=2, calc_err=False)
         _compare(u, v, ou, ov, frac=0.97)
+
+
+def test_lk_error_map_matches_oracle(piv_pair_small):
+    """GetError SAD map parity (ref: src/pyrlkDenseLargeW.cl:617-667)."""
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    out = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2), jnp.asarray(z),
+                         jnp.asarray(z), calc_err=True)
+    assert len(out) == 4
+    u, v, status, err = out
+    ou, ov, _, oerr = lk_dense(im1, im2, z, z, calc_err=True)
+    # compare err on the well-behaved bulk (flows agree => windows agree)
+    m = (np.abs(ou) < 5) & (np.abs(ov) < 5) \
+        & (np.abs(np.asarray(u) - ou) < 1e-3) & (np.abs(np.asarray(v) - ov) < 1e-3)
+    assert m.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(err)[m], oerr[m], atol=5e-3)
+    # singular-A pixels return before the GetError pass -> err stays 0 (the
+    # zero-initialised host buffer); OOB-bailed pixels (status==0) DO get err.
+    # The zero sets must agree with the oracle's up to f32 threshold noise.
+    assert ((np.asarray(err) == 0.0) == (oerr == 0.0)).mean() > 0.999
+
+
+def test_lk_error_map_asym_window(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    _, _, _, err = lk_dense_solve(jnp.asarray(im1), jnp.asarray(im2),
+                                  jnp.asarray(z), jnp.asarray(z),
+                                  asym=(0, 1, 0, 1), calc_err=True)
+    _, _, _, oerr = lk_dense(im1, im2, z, z, asym=(0, 1, 0, 1), calc_err=True)
+    d = np.abs(np.asarray(err) - oerr)
+    assert (d < 5e-3).mean() > 0.95
+
+
+def test_adapter_error_map(piv_pair_small):
+    im1, im2, _, _ = piv_pair_small
+    z = np.zeros_like(im1)
+    ad = DenseLucasKanadeAdapter(computeErrorMap=True)
+    u, v, flag = ad.compute(im1, im2, z, z)
+    assert flag is True
+    assert ad.lastErrorMap is not None
+    assert ad.lastErrorMap.shape == im1.shape
+    assert np.isfinite(np.asarray(ad.lastErrorMap)).all()
