@@ -76,15 +76,17 @@ def _force(u, v):
 
 
 def time_config(name, d1, d2, repeats=5, chain=16):
-    """Returns (latency_s, marginal_s, transfer_s, U, V).
+    """Returns (latency_s, marginal_s, amortized, transfer_s, U, V).
 
     latency: single call incl. the host sync round trip.  marginal: extra cost
-    of one more call in a pipelined stream ((t_K - t_1)/(K-1)) — dispatches are
-    async and execute in order, so forcing the last output waits for all K;
-    this cancels the tunnel's fixed sync latency.  The chain is long (16) so
-    the tunnel's ~ms sync jitter divides by K-1 and cannot swamp small
-    marginals (a chain of 6 once measured a negative marginal for a 2 ms
-    config).
+    of one more call in a pipelined stream ((t_2K - t_K)/K) — dispatches are
+    async and execute in order, so forcing the last output waits for all of
+    them; differencing two long chains cancels the tunnel's fixed sync latency
+    AND its per-sync jitter (a (t_K - t_1)/(K-1) estimate once went negative
+    for a fast config because one sync's jitter exceeded K-1 marginals).  When
+    jitter still swamps the signal (non-positive difference), fall back to the
+    amortized per-pair time t_2K/2K — an honest upper bound that includes one
+    sync per 2K pairs — and flag it.
     """
     from opticalflow_ri_tpu.compile import compiled_pipeline
 
@@ -101,7 +103,11 @@ def time_config(name, d1, d2, repeats=5, chain=16):
 
     lat = float(np.median([run_k(1) for _ in range(repeats)]))
     tk = float(np.median([run_k(chain) for _ in range(repeats)]))
-    marginal = max((tk - lat) / (chain - 1), 1e-9)
+    t2k = float(np.median([run_k(2 * chain) for _ in range(repeats)]))
+    marginal = (t2k - tk) / chain
+    amortized = marginal <= 0
+    if amortized:
+        marginal = t2k / (2 * chain)
 
     # one transfer-inclusive measurement
     t0 = time.perf_counter()
@@ -109,7 +115,7 @@ def time_config(name, d1, d2, repeats=5, chain=16):
     un = np.asarray(u)
     vn = np.asarray(v)
     t_xfer = time.perf_counter() - t0
-    return lat, marginal, t_xfer, un, vn
+    return lat, marginal, amortized, t_xfer, un, vn
 
 
 def time_batched(name, d1, d2, batch=8, repeats=3):
@@ -153,7 +159,10 @@ def time_streamed(name, d1, d2, k=16, repeats=3):
 
     t1 = run(1)
     tk = run(k)
-    return max((tk - t1) / (k - 1), 1e-9), k
+    per_pair = (tk - t1) / (k - 1)
+    if per_pair <= 0:  # sync jitter swamped the signal; amortize instead
+        per_pair = tk / k
+    return per_pair, k
 
 
 _HEADLINE_PRINTED = False
@@ -244,10 +253,11 @@ def main():
     details = {"device": device, "image": "parabolic01 512x512", "configs": {}}
     for name in names:
         try:
-            lat, marginal, t_xfer, u, v = time_config(name, d1, d2)
+            lat, marginal, amortized, t_xfer, u, v = time_config(name, d1, d2)
             entry = {
                 "latency_seconds": lat,
                 "marginal_seconds": marginal,
+                "marginal_is_amortized_fallback": amortized,
                 "seconds_with_host_transfer": t_xfer,
                 "mpix_per_s_latency": MPIX / lat,
                 "mpix_per_s": MPIX / marginal,
