@@ -307,6 +307,32 @@ def main():
                 details["streamed"][sname] = {"error": repr(e)}
             _dump_details(details)
 
+    if not os.environ.get("BENCH_QUICK"):
+        # image-size scaling: the 512^2 PIV pair underfills the chip; larger
+        # frames amortize per-dispatch overhead and show the throughput
+        # headroom (synthetic pairs, HS_Fs3_4 config)
+        from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+        details["size_scaling"] = {}
+        for side in (256, 1024, 2048):
+            try:
+                s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+                lat, marg, amort, _, _, _ = time_config(
+                    "HS_Fs3_4", jnp.asarray(s1), jnp.asarray(s2), repeats=3
+                )
+                mpix = side * side / 1e6
+                details["size_scaling"][f"{side}x{side}"] = {
+                    "latency_seconds": lat,
+                    "marginal_seconds": marg,
+                    "marginal_is_amortized_fallback": amort,
+                    "mpix_per_s": mpix / marg,
+                }
+                print(f"# size {side}^2: marginal {marg*1e3:.2f} ms "
+                      f"({mpix/marg:.2f} Mpix/s)", file=sys.stderr)
+            except Exception as e:
+                details["size_scaling"][f"{side}x{side}"] = {"error": repr(e)}
+            _dump_details(details)
+
     _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})
     _print_headline(hs.get("mpix_per_s", 0.0))
