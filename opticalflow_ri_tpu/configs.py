@@ -145,12 +145,24 @@ _register(FlowConfig(
     "LK_Fs2_0_PyrLvls2", lambda: DenseLucasKanadeAdapter(halfWindow=13, Niter=5),
     filter_sigma=2.0, pyr_levels=2,
 ))
+# Benchmark-harness composition quirk: with use_liu_shen the LiuShen(0.1)
+# adapter *replaces* the main adapter (the LK/FB adapter is constructed but
+# never used), keeping that config's filter_sigma / pyr_levels
+# (ref: benchmark_of_methods.py:159-163, :211-215, :265-269).
+_register(FlowConfig(
+    "LiuSE_LK_Fs2_0_PyrLvls2", lambda: LiuShenOpticalFlowAlgoAdapter(0.1),
+    filter_sigma=2.0, pyr_levels=2,
+))
 _register(FlowConfig(
     "FB_Fs0_0", lambda: FarnebackAdapter(windowSize=33, Niters=5, polyN=7, polySigma=1.5),
 ))
 _register(FlowConfig(
     "FB_Fs0_0_PyrLvls2", lambda: FarnebackAdapter(windowSize=33, Niters=5, polyN=7, polySigma=1.5),
     pyr_levels=2,
+))
+_register(FlowConfig(
+    "LiuSE_FB_Fs0_0_PyrLvls2", lambda: LiuShenOpticalFlowAlgoAdapter(0.1),
+    filter_sigma=0.0, pyr_levels=2,
 ))
 
 

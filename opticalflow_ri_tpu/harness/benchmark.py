@@ -20,8 +20,8 @@ from opticalflow_ri_tpu.utils.io import save_flow, normalize_16bit_to_8bit
 # (ref: benchmark_of_methods.py:143-148, :197-201, :251-255)
 BENCH_CONFIG_NAMES = [
     "HS_Fs0_0", "HS_Fs3_4", "HS_Fs3_4_PyrLvls2", "LiuSE_HS_Fs3_4_PyrLvls2",
-    "LK_Fs2_0", "LK_Fs2_0_PyrLvls2",
-    "FB_Fs0_0", "FB_Fs0_0_PyrLvls2",
+    "LK_Fs2_0", "LK_Fs2_0_PyrLvls2", "LiuSE_LK_Fs2_0_PyrLvls2",
+    "FB_Fs0_0", "FB_Fs0_0_PyrLvls2", "LiuSE_FB_Fs0_0_PyrLvls2",
 ]
 
 

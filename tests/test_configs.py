@@ -54,6 +54,23 @@ def test_fb_config_matches_oracle_driver(piv_pair_small):
     assert aee(u, v, ou, ov) < 5e-3
 
 
+@pytest.mark.parametrize("name,sigma", [
+    ("LiuSE_LK_Fs2_0_PyrLvls2", 2.0),   # ref: benchmark_of_methods.py:197-201
+    ("LiuSE_FB_Fs0_0_PyrLvls2", 0.0),   # ref: benchmark_of_methods.py:251-255
+    ("LiuSE_HS_Fs3_4_PyrLvls2", 3.4),   # ref: benchmark_of_methods.py:143-148
+])
+def test_liuse_main_configs_match_oracle(name, sigma, piv_pair_small):
+    """Benchmark quirk: LiuShen(0.1) REPLACES the main adapter
+    (ref: benchmark_of_methods.py:159-163, :211-215, :265-269)."""
+    from opticalflow_ri_tpu.oracle.liu_shen import OracleLiuShenAdapter
+
+    im1, im2, _, _ = piv_pair_small
+    u, v = run_config(name, im1, im2)
+    ou, ov = oracle_pyr(im1, im2, sigma, OracleLiuShenAdapter(0.1),
+                        pyramidal_levels=2)
+    assert aee(u, v, ou, ov) < 1e-4
+
+
 def test_batched_pipeline_all_solvers(piv_pair_small):
     """vmapped whole-config pipelines work for every solver family."""
     import jax.numpy as jnp
