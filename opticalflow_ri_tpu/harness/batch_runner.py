@@ -5,9 +5,11 @@ profiling.
 The reference processes one pair per script run with no recovery story
 (SURVEY.md section 5); this runner is the serving-scale counterpart:
 
-  * pairs stream through ``compile.batched_pipeline`` (one XLA dispatch per
-    batch), with the next batch decoded on host threads (native C++ TIFF
-    runtime when available) while the TPU computes;
+  * pairs stream through ``compile.scan_pipeline`` (one XLA dispatch per
+    batch, pairs processed sequentially on device — single-pair working set,
+    no VMEM spill; measured ~2.6x the vmapped construct at 512^2), with the
+    next batch decoded on host threads (native C++ TIFF runtime when
+    available) while the TPU computes;
   * a JSON checkpoint records completed pairs; re-running with the same
     output directory resumes where it stopped;
   * per-batch failures are caught, logged and skipped — one corrupt frame
@@ -33,8 +35,12 @@ log = logging.getLogger("opticalflow_ri_tpu")
 class FlowBatchRunner:
     def __init__(self, config_name: str, batch_size: int = 4,
                  output_dir: str = "flow_out", save_outputs: bool = True,
-                 checkpoint_every: int = 1, profile_dir: str | None = None):
+                 checkpoint_every: int = 1, profile_dir: str | None = None,
+                 pipeline: str = "scan"):
+        if pipeline not in ("scan", "batched"):
+            raise ValueError(f"pipeline must be 'scan' or 'batched', got {pipeline!r}")
         self.config_name = config_name
+        self.pipeline = pipeline
         self.batch_size = int(batch_size)
         self.output_dir = output_dir
         self.save_outputs = save_outputs
@@ -64,7 +70,7 @@ class FlowBatchRunner:
         checkpoint state (with per-pair timing stats added)."""
         import jax
         import jax.numpy as jnp
-        from opticalflow_ri_tpu.compile import batched_pipeline
+        from opticalflow_ri_tpu.compile import batched_pipeline, scan_pipeline
         from opticalflow_ri_tpu.utils.io import load_image_batch, save_flow
 
         state = self._load_checkpoint()
@@ -78,7 +84,8 @@ class FlowBatchRunner:
         if not todo:
             return state
 
-        fn = batched_pipeline(self.config_name)
+        fn = (scan_pipeline if self.pipeline == "scan"
+              else batched_pipeline)(self.config_name)
 
         # host-side prefetch thread: decode the next batch while TPU computes
         batches = [todo[i : i + self.batch_size]
@@ -178,10 +185,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--out", default="flow_out")
     ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--pipeline", choices=("scan", "batched"), default="scan")
     args = ap.parse_args()
 
     runner = FlowBatchRunner(args.config, batch_size=args.batch_size,
-                             output_dir=args.out, profile_dir=args.profile_dir)
+                             output_dir=args.out, profile_dir=args.profile_dir,
+                             pipeline=args.pipeline)
     state = runner.run(pairs_from_glob(args.glob0, args.glob1))
     done = len(state.get("done", []))
     failed = len(state.get("failed", []))

@@ -11,9 +11,11 @@ Replicates the reference's two warp modes
     that exactly (jnp.round is also half-even).
   * ``liu_shen_warp`` — the alternative optical-flow-equation warp: integer
     scatter shift plus a first-order intensity correction from the smoothed
-    sub-pixel residual flow.  (No calibrated example exercises this mode; the
-    scatter uses last-write-wins like numpy fancy assignment, which JAX's
-    scatter does not guarantee under duplicate indices — documented caveat.)
+    sub-pixel residual flow.  NumPy fancy assignment resolves duplicate
+    destinations last-write-wins in row-major source order; JAX's plain
+    ``.at[].set`` leaves that unspecified, so the scatter here is expressed
+    as a deterministic scatter-MAX of source linear indices (max source
+    index == numpy's last writer) followed by a gather.
 
 Gathers here run once per pyramid level (not in the iteration hot loop), so
 XLA's native gather is used; the hot solver loops never gather.
@@ -123,7 +125,16 @@ def liu_shen_warp(im1: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     # (where the reference would fault).
     xdst = jnp.clip(jnp.where(xdst < 0, xdst + w, xdst), 0, w - 1)
     ydst = jnp.clip(jnp.where(ydst < 0, ydst + h, ydst), 0, h - 1)
-    shifted = im1.at[ydst, xdst].set(im1)
+    # Deterministic last-write-wins: for each destination, the winning source
+    # is the one with the LARGEST row-major linear index (numpy iterates the
+    # index meshes row-major, so the last writer has the max index).
+    # scatter-max is order-independent, unlike scatter-set.
+    dst = (ydst * w + xdst).reshape(-1)
+    src_idx = jnp.arange(h * w, dtype=jnp.int32)
+    winner = jnp.full((h * w,), -1, jnp.int32).at[dst].max(src_idx)
+    im_flat = im1.reshape(-1)
+    shifted = jnp.where(winner >= 0,
+                        im_flat[jnp.maximum(winner, 0)], im_flat).reshape(h, w)
 
     du = gaussian_filter(u - ui.astype(u.dtype), 0.6 * 3, 4.0 / 0.6 * 3)
     dv = gaussian_filter(v - vi.astype(v.dtype), 0.6 * 3, 4.0 / 0.6 * 3)

@@ -60,6 +60,26 @@ def test_failure_isolation(tmp_path):
     assert sorted(state["done"]) == sorted(p[0] for p in pairs)
 
 
+def test_scan_and_batched_pipelines_agree(tmp_path):
+    """Default (scan) and vmapped pipelines produce the same flows."""
+    pairs = _make_dataset(tmp_path, n=3)
+    out_s = str(tmp_path / "out_scan")
+    out_b = str(tmp_path / "out_batched")
+    st_s = FlowBatchRunner("HS_Fs0_0", batch_size=2, output_dir=out_s).run(pairs)
+    assert FlowBatchRunner("HS_Fs0_0", output_dir=out_s).pipeline == "scan"
+    st_b = FlowBatchRunner("HS_Fs0_0", batch_size=2, output_dir=out_b,
+                           pipeline="batched").run(pairs)
+    assert sorted(st_s["done"]) == sorted(st_b["done"])
+
+    import scipy.io
+
+    for name, _, _ in pairs:
+        ms = scipy.io.loadmat(os.path.join(out_s, f"{name}.mat"))
+        mb = scipy.io.loadmat(os.path.join(out_b, f"{name}.mat"))
+        np.testing.assert_allclose(ms["velocities"]["u"][0, 0],
+                                   mb["velocities"]["u"][0, 0], atol=1e-5)
+
+
 def test_config_mismatch_refused(tmp_path):
     pairs = _make_dataset(tmp_path, n=1)
     out = str(tmp_path / "out")

@@ -16,7 +16,11 @@ def _oracle_ls_warp(im1, u, v):
     vs = np.int32(ys + np.floor(v + 0.5))
     du = u - np.floor(u + np.float32(0.5))
     dv = v - np.floor(v + np.float32(0.5))
-    im1[np.clip(vs, 0, h - 1), np.clip(us, 0, w - 1)] = im1[ys, xs]
+    # numpy fancy assignment wraps negative indices; the library clips the
+    # high end where the reference would fault (documented divergence)
+    us = np.clip(np.where(us < 0, us + w, us), 0, w - 1)
+    vs = np.clip(np.where(vs < 0, vs + h, vs), 0, h - 1)
+    im1[vs, us] = im1[ys, xs]
     du = oracle_gauss(du, 0.6 * 3, 4.0 / 0.6 * 3)
     dv = oracle_gauss(dv, 0.6 * 3, 4.0 / 0.6 * 3)
     tdx = (im1[:-1, 1:] * du[:-1, 1:] - im1[:-1, :-1] * du[:-1, :-1])
@@ -32,6 +36,27 @@ def test_ls_warp_subpixel_flow():
     im = rng.uniform(0, 255, (40, 48)).astype(np.float32)
     u = (rng.uniform(-0.4, 0.4, im.shape)).astype(np.float32)
     v = (rng.uniform(-0.4, 0.4, im.shape)).astype(np.float32)
+
+    got = np.asarray(liu_shen_warp(jnp.asarray(im), jnp.asarray(u), jnp.asarray(v)))
+    want = _oracle_ls_warp(im, u, v)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_ls_warp_duplicate_destinations_last_write_wins():
+    """Colliding integer shifts must resolve exactly like numpy fancy
+    assignment (last writer in row-major source order wins)."""
+    rng = np.random.default_rng(7)
+    im = rng.uniform(0, 255, (32, 40)).astype(np.float32)
+    # large random integer-ish flows -> many duplicate destinations
+    u = rng.integers(-5, 6, im.shape).astype(np.float32)
+    v = rng.integers(-5, 6, im.shape).astype(np.float32)
+
+    # verify the test actually exercises collisions
+    h, w = im.shape
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    dst = (np.clip(ys + v.astype(np.int64), 0, h - 1) * w
+           + np.clip(xs + u.astype(np.int64), 0, w - 1))
+    assert len(np.unique(dst)) < dst.size
 
     got = np.asarray(liu_shen_warp(jnp.asarray(im), jnp.asarray(u), jnp.asarray(v)))
     want = _oracle_ls_warp(im, u, v)
