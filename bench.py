@@ -160,9 +160,10 @@ def time_streamed(name, d1, d2, k=16, repeats=3):
     t1 = run(1)
     tk = run(k)
     per_pair = (tk - t1) / (k - 1)
-    if per_pair <= 0:  # sync jitter swamped the signal; amortize instead
+    amortized = per_pair <= 0
+    if amortized:  # sync jitter swamped the signal; amortize instead
         per_pair = tk / k
-    return per_pair, k
+    return per_pair, k, amortized
 
 
 _HEADLINE_PRINTED = False
@@ -246,6 +247,8 @@ def main():
         "Farneback_Fs0_0",
         "LiuSE_denseLK_Fs2_0_PyrLvls2",
         "LiuSE_Farneback_Fs0_0_PyrLvls2",
+        "LiuSE_LK_Fs2_0_PyrLvls2",
+        "LiuSE_FB_Fs0_0_PyrLvls2",
     ]
     if os.environ.get("BENCH_QUICK"):
         names = names[:1]
@@ -297,9 +300,10 @@ def main():
         details["streamed"] = {}
         for sname in ("PyHSchunck_Fs3_4", "denseLK_Fs2_0", "Farneback_Fs0_0"):
             try:
-                t, k = time_streamed(sname, d1, d2)
+                t, k, amortized = time_streamed(sname, d1, d2)
                 details["streamed"][sname] = {
                     "k": k, "seconds_per_pair": t, "mpix_per_s": MPIX / t,
+                    "is_amortized_fallback": amortized,
                 }
                 print(f"# streamed scan {sname} x{k}: {t*1e3:.2f} ms/pair "
                       f"({MPIX/t:.2f} Mpix/s)", file=sys.stderr)
@@ -313,8 +317,10 @@ def main():
         # headroom (synthetic pairs, HS_Fs3_4 config)
         from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
 
+        # all points measured identically (synthetic pairs), incl. 512 so the
+        # scaling curve does not mix image sources with the config section
         details["size_scaling"] = {}
-        for side in (256, 1024, 2048):
+        for side in (256, 512, 1024, 2048):
             try:
                 s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
                 lat, marg, amort, _, _, _ = time_config(

@@ -55,11 +55,19 @@ def _pick_impl(shape) -> str:
 
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    # opt-in env gate AND the backend policy (covers cpu, force_xla, disable)
-    if os.environ.get("OFRI_ENABLE_PALLAS") != "1" or not pallas_default_on():
+    if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
+    from opticalflow_ri_tpu.ops.pallas.hs_tiled import hs_tiled_supports_pallas
 
+    # Large images (beyond whole-state VMEM residency): the temporal-blocked
+    # tiled kernel is default-ON (hardware A/B in scripts/pallas_ab_results.json).
+    # At <= ~512^2 the XLA loop already wins (0.68 vs 0.93 ms), so whole-state
+    # Pallas stays opt-in.
+    if not hs_supports_pallas(shape) and hs_tiled_supports_pallas(shape):
+        return "pallas_tiled"
+    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
+        return "xla"
     return "pallas" if hs_supports_pallas(shape) else "xla"
 
 
@@ -84,6 +92,10 @@ def hs_solve(im1, im2, alpha, niter: int, u0, v0, impl: str = "xla"):
         from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_iterate_pallas
 
         u, v = hs_iterate_pallas(fx, fy, ft, u0, v0, alpha, niter)
+    elif impl == "pallas_tiled":
+        from opticalflow_ri_tpu.ops.pallas.hs_tiled import hs_iterate_pallas_tiled
+
+        u, v = hs_iterate_pallas_tiled(fx, fy, ft, u0, v0, alpha, niter)
     else:
         denom = alpha * alpha + fx * fx + fy * fy
 

@@ -215,20 +215,37 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
         return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
                           hw, win, wx, wy, pad, h, w, calc_err)
 
-    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2.
-    t_list = []
-    for sy in range(-R, R + 1):
-        for sx in range(-R, R + 1):
-            js = jpad[oi + sy : oi + sy + core_h, oi + sx : oi + sx + core_w]
-            # one window-sum pass covers both gradient stacks
-            t_list.append(wsum(js[None] * g_pair))
+    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, built by
+    # a lax.scan over the 2R+1 ROW shifts with the 2R+1 column shifts unrolled
+    # in the body: the body compiles once instead of (2R+1)^2 inlined copies
+    # (fully unrolled cost ~40 s of cold compile at 512^2 -> now ~2 s), while
+    # the x-shifts stay static slices the VPU pipelines well (a full 169-step
+    # scan of per-shift dynamic 2-D slices ran 35 ms vs ~9 ms unrolled).
+    # Identical summation order per shift.
+    slab = lax.dynamic_slice(
+        jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
+    )
+
+    def build_row(_, sy):
+        rowslab = lax.dynamic_slice(slab, (sy, 0), (core_h, core_w + 2 * R))
+        # one window-sum pass per shift covers both gradient stacks
+        planes = [
+            wsum(rowslab[:, sx : sx + core_w][None] * g_pair)
+            for sx in range(nshift)
+        ]
+        return None, jnp.stack(planes)  # (nshift, 2, H, W)
+
+    _, t_scan = lax.scan(
+        build_row, None, jnp.arange(nshift, dtype=jnp.int32)
+    )
+    t_scan = t_scan.reshape(nshift * nshift, 2, h, w)  # sy-major, sx-minor
 
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
 
         jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
         ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        t_all = jnp.stack(t_list, axis=1)  # (2, nshift^2, H, W)
+        t_all = jnp.swapaxes(t_scan, 0, 1)  # (2, nshift^2, H, W)
         px, py, status = lk_gn_iterate_pallas(
             t_all[0], t_all[1], ia11, ia12, ia22,
             c1, c2, ok, jj + u0 - hw, ii + v0 - hw, n_iter, R, hw,
@@ -238,9 +255,8 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
 
     # XLA path: planes laid out shift-minor (H, W, nshift^2) so the
     # per-iteration reduction runs over VPU lanes.
-    t_pair = jnp.stack(t_list, axis=-1)  # (2, H, W, nshift^2)
-    t1 = t_pair[0]
-    t2 = t_pair[1]
+    t1 = jnp.moveaxis(t_scan[:, 0], 0, -1)  # (H, W, nshift^2)
+    t2 = jnp.moveaxis(t_scan[:, 1], 0, -1)
 
     # static per-lane shift coordinates
     s_lin = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nshift * nshift), 2)

@@ -29,7 +29,10 @@ def initialize(coordinator_address: str | None = None,
     """Initialise jax.distributed.  With no arguments, relies on the TPU
     environment's automatic discovery; explicit arguments support bring-up
     on arbitrary clusters."""
-    if jax.process_count() > 1 or jax.distributed.is_initialized():
+    # NB: must not touch the backend before jax.distributed.initialize();
+    # jax.process_count()/jax.devices() would initialise XLA and make
+    # initialization fail.  is_initialized() is backend-free.
+    if jax.distributed.is_initialized():
         return
     kwargs = {}
     if coordinator_address is not None:

@@ -178,6 +178,42 @@ def main():
     emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
          speedup_vs_xla=m_lx / m_lp)
 
+    # ---------------- HS temporal-blocked tiled kernel (large images) -------
+    from opticalflow_ri_tpu.models.horn_schunck import hs_solve
+    from opticalflow_ri_tpu.ops.stencil import hs_derivatives
+    from opticalflow_ri_tpu.ops.pallas.hs_tiled import (
+        hs_iterate_pallas_tiled, hs_tiled_supports_pallas,
+    )
+    from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+    for side in (1024, 2048):
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1)
+        s2 = jnp.asarray(s2)
+        z = jnp.zeros((side, side), jnp.float32)
+        dfx, dfy, dft = _jax.block_until_ready(hs_derivatives(s1, s2))
+
+        hs_x = lambda a, b: hs_solve(a, b, 1.0, 100, z, z, impl="xla")
+        signal.alarm(900)
+        m_hx, _ = marginal(hs_x, (s1, s2), chain=4)
+        emit(f"hs_xla_{side}", marginal_ms=m_hx * 1e3)
+
+        if not hs_tiled_supports_pallas((side, side)):
+            emit(f"hs_tiled_{side}", skipped="unsupported shape")
+            continue
+        signal.alarm(2400)
+        ut, vt = hs_iterate_pallas_tiled(dfx, dfy, dft, z, z, 1.0, 100)
+        ur, vr, _ = hs_x(s1, s2)
+        diff = float(jnp.max(jnp.abs(ut - ur))) + float(jnp.max(jnp.abs(vt - vr)))
+        emit(f"hs_tiled_{side}_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_ht, _ = marginal(
+            lambda a, b, c: hs_iterate_pallas_tiled(a, b, c, z, z, 1.0, 100),
+            (dfx, dfy, dft), chain=4,
+        )
+        emit(f"hs_tiled_{side}", marginal_ms=m_ht * 1e3,
+             speedup_vs_xla=m_hx / m_ht)
+
     # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
     # resolved at trace time, and the inner solver jits cache their traces, so
     # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per

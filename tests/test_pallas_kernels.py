@@ -346,3 +346,30 @@ def test_pallas_policy_force_xla(monkeypatch):
     assert not pp.pallas_default_on()  # server-side Mosaic compiles wedge
     monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
     assert pp.pallas_default_on()
+
+
+def test_hs_tiled_pallas_matches_xla_interpret():
+    """Temporal-blocked stripes + mirror-pad trick == global mirror Jacobi,
+    incl. a remainder launch (niter % t_block != 0) and nonzero flow init."""
+    from opticalflow_ri_tpu.ops.pallas.hs_tiled import (
+        hs_iterate_pallas_tiled, hs_tiled_supports_pallas, stripe_height,
+    )
+
+    rng = np.random.default_rng(1)
+    shape = (128, 256)
+    d1 = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    d2 = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    u0 = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    v0 = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+
+    ux, vx, _ = hs_solve(d1, d2, 21.0, 45, u0, v0, impl="xla")
+    fx, fy, ft = hs_derivatives(d1, d2)
+    up, vp = hs_iterate_pallas_tiled(fx, fy, ft, u0, v0, 21.0, 45,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ux), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), rtol=1e-5, atol=1e-5)
+
+    assert hs_tiled_supports_pallas((2048, 2048))
+    assert hs_tiled_supports_pallas((1024, 1024))
+    assert not hs_tiled_supports_pallas((100, 130))  # off-tile
+    assert stripe_height(2048, 2048, 20) is not None
