@@ -186,10 +186,13 @@ def _print_headline(value, error=None):
     sys.stdout.flush()
 
 
-def _sanity_probe(seconds=180):
+def _sanity_probe(seconds=900):
     """Check the device answers before dispatching heavy work.  A wedged
     tunnel hangs every dispatch; killing a client mid-compile wedges the
-    server further, so bail out early with only a tiny op in flight."""
+    server further, so bail out early with only a tiny op in flight.
+    The budget is generous: fresh-process session claims through the tunnel
+    were observed to take 3-10 minutes (round-2 log) — a slow claim is not a
+    wedge and must not zero the benchmark."""
     import signal
 
     def on_alarm(signum, frame):
@@ -208,7 +211,7 @@ def _install_watchdog():
     """Backstop for a device that dies mid-benchmark."""
     import signal
 
-    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "1800"))
+    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "5400"))
 
     def on_alarm(signum, frame):
         _print_headline(0.0, "watchdog: device unresponsive")

@@ -218,10 +218,11 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, built by
     # a lax.scan over the 2R+1 ROW shifts with the 2R+1 column shifts unrolled
     # in the body: the body compiles once instead of (2R+1)^2 inlined copies
-    # (fully unrolled cost ~40 s of cold compile at 512^2 -> now ~2 s), while
-    # the x-shifts stay static slices the VPU pipelines well (a full 169-step
-    # scan of per-shift dynamic 2-D slices ran 35 ms vs ~9 ms unrolled).
-    # Identical summation order per shift.
+    # (fully unrolled cost ~40 s of cold compile at 512^2 -> ~2 s; build
+    # runtime identical at 3.3 ms either way, /tmp round-2 hardware A/B).
+    # The body emits the two gradient stacks separately so each scan output
+    # is already the shift-major (nshift^2, H, W) layout the Pallas GN kernel
+    # consumes — zero post-hoc transposes.  Identical summation order.
     slab = lax.dynamic_slice(
         jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
     )
@@ -233,30 +234,34 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
             wsum(rowslab[:, sx : sx + core_w][None] * g_pair)
             for sx in range(nshift)
         ]
-        return None, jnp.stack(planes)  # (nshift, 2, H, W)
+        st = jnp.stack(planes)  # (nshift, 2, H, W)
+        return None, (st[:, 0], st[:, 1])
 
-    _, t_scan = lax.scan(
+    _, (t1s, t2s) = lax.scan(
         build_row, None, jnp.arange(nshift, dtype=jnp.int32)
     )
-    t_scan = t_scan.reshape(nshift * nshift, 2, h, w)  # sy-major, sx-minor
+    t1s = t1s.reshape(nshift * nshift, h, w)  # sy-major, sx-minor
+    t2s = t2s.reshape(nshift * nshift, h, w)
 
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
 
         jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
         ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        t_all = jnp.swapaxes(t_scan, 0, 1)  # (2, nshift^2, H, W)
         px, py, status = lk_gn_iterate_pallas(
-            t_all[0], t_all[1], ia11, ia12, ia22,
+            t1s, t2s, ia11, ia12, ia22,
             c1, c2, ok, jj + u0 - hw, ii + v0 - hw, n_iter, R, hw,
         )
         return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
                           hw, win, wx, wy, pad, h, w, calc_err)
 
     # XLA path: planes laid out shift-minor (H, W, nshift^2) so the
-    # per-iteration reduction runs over VPU lanes.
-    t1 = jnp.moveaxis(t_scan[:, 0], 0, -1)  # (H, W, nshift^2)
-    t2 = jnp.moveaxis(t_scan[:, 1], 0, -1)
+    # per-iteration reduction runs over VPU lanes.  The transpose MUST be
+    # materialised before the loop — fused into the fori_loop it re-transposes
+    # the full ~350 MB stack every iteration (measured 30 ms vs 7 ms e2e).
+    t1, t2 = lax.optimization_barrier(
+        (jnp.moveaxis(t1s, 0, -1), jnp.moveaxis(t2s, 0, -1))
+    )
 
     # static per-lane shift coordinates
     s_lin = jax.lax.broadcasted_iota(jnp.float32, (1, 1, nshift * nshift), 2)
