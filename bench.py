@@ -229,7 +229,8 @@ def main():
     # persistent compilation cache: repeat bench runs skip the multi-minute
     # cold compiles
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/ofri_jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/ofri_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -60,9 +60,11 @@ def _pick_impl(shape) -> str:
     from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.hs_tiled import hs_tiled_supports_pallas
 
-    # Large images (beyond whole-state VMEM residency): the temporal-blocked
-    # tiled kernel is default-ON (hardware A/B in scripts/pallas_ab_results.json).
-    # At <= ~512^2 the XLA loop already wins (0.68 vs 0.93 ms), so whole-state
+    # Beyond whole-state VMEM residency the temporal-blocked tiled kernel is
+    # default-ON: hardware A/B (scripts/pallas_ab_results.json) measures
+    # 1.45x at 1024^2 (4.5 vs 6.5 ms) and 3.24x at 2048^2 (17.9 vs 58.1 ms)
+    # over the XLA fori_loop, parity 7.6e-6 over 100 Jacobi iterations.  At
+    # <= ~512^2 the XLA loop wins outright (0.68 vs 0.93 ms), so whole-state
     # Pallas stays opt-in.
     if not hs_supports_pallas(shape) and hs_tiled_supports_pallas(shape):
         return "pallas_tiled"

@@ -44,8 +44,12 @@ _W_DIAG = 1.0 / 12.0
 
 # default iterations fused per launch (== halo depth == mirror-pad depth)
 DEFAULT_T_BLOCK = 20
-# VMEM budget for the six landing buffers + loop live set (conservative)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for the six landing buffers + loop live set.  A v5e core has
+# 128 MB VMEM; 48 MB for the resident fields leaves ample room for the
+# pipelined output blocks and Mosaic's own buffers.  Budget-bound stripe
+# heights cost redundant halo compute (bh=64 at 2048^2 was 1.6x redundant
+# and measured 24.8 ms; bh=256 cuts redundancy to 1.16x).
+_VMEM_BUDGET = 48 * 1024 * 1024
 _N_FIELDS_RESIDENT = 11  # 6 DMA buffers + u/v carries + ~3 temporaries
 
 
@@ -127,14 +131,14 @@ def _hs_tiled_kernel(fx_hbm, fy_hbm, ft_hbm, rd_hbm, u_hbm, v_hbm,
     v_out[:] = v[pad : pad + bh, pad : pad + w]
 
 
-@partial(jax.jit, static_argnames=("t_iters", "bh", "pad"))
-def _launch(fxp, fyp, ftp, rdp, up, vp, t_iters: int, bh: int, pad: int):
+@partial(jax.jit, static_argnames=("t_iters", "bh", "pad", "w"))
+def _launch(fxp, fyp, ftp, rdp, up, vp, t_iters: int, bh: int, pad: int,
+            w: int):
     hp, wp = fxp.shape
     h = hp - 2 * pad
-    w = wp - 2 * pad
     buf = lambda: pltpu.VMEM((bh + 2 * pad, wp), jnp.float32)
     out_spec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     return pl.pallas_call(
         partial(_hs_tiled_kernel, t_iters=t_iters, bh=bh, w=w, pad=pad),
         grid=(h // bh,),
@@ -142,7 +146,7 @@ def _launch(fxp, fyp, ftp, rdp, up, vp, t_iters: int, bh: int, pad: int):
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
         ),
-        in_specs=[any_spec] * 6,
+        in_specs=[hbm_spec] * 6,
         out_specs=(out_spec, out_spec),
         scratch_shapes=[buf() for _ in range(6)] + [pltpu.SemaphoreType.DMA((6,))],
         compiler_params=pltpu.CompilerParams(
@@ -173,7 +177,16 @@ def hs_iterate_pallas_tiled(fx, fy, ft, u0, v0, alpha, niter: int,
     alpha = jnp.float32(alpha)
     rd = 1.0 / (alpha * alpha + fx * fx + fy * fy)
 
-    mirror = lambda z: jnp.pad(z, t_block, mode="reflect")
+    # Mirror-pad by T, then round the padded width up to a lane multiple —
+    # Mosaic requires lane-dim slices 128-aligned, so the kernel always copies
+    # full-width rows.  The extra right columns are edge-pad garbage adjacent
+    # to the mirror ring; by the staleness argument they never reach the
+    # output (the ring is exactly T deep).
+    wpad = (-(w + 2 * t_block)) % 128
+
+    def mirror(z):
+        z = jnp.pad(z, t_block, mode="reflect")
+        return jnp.pad(z, ((0, 0), (0, wpad)), mode="edge") if wpad else z
     fxp = mirror(fx.astype(jnp.float32))
     fyp = mirror(fy.astype(jnp.float32))
     ftp = mirror(ft.astype(jnp.float32))
@@ -185,20 +198,19 @@ def hs_iterate_pallas_tiled(fx, fy, ft, u0, v0, alpha, niter: int,
     while done < niter:
         t = min(t_block, niter - done)
         u, v = launch(fxp, fyp, ftp, rdp, mirror(u), mirror(v),
-                      t, bh, t_block)
+                      t, bh, t_block, w)
         done += t
     return u, v
 
 
-@partial(jax.jit, static_argnames=("t_iters", "bh", "pad"))
-def _launch_interpret(fxp, fyp, ftp, rdp, up, vp, t_iters, bh, pad):
+@partial(jax.jit, static_argnames=("t_iters", "bh", "pad", "w"))
+def _launch_interpret(fxp, fyp, ftp, rdp, up, vp, t_iters, bh, pad, w):
     """interpret=True variant for CPU validation of the kernel logic."""
     hp, wp = fxp.shape
     h = hp - 2 * pad
-    w = wp - 2 * pad
     buf = lambda: pltpu.VMEM((bh + 2 * pad, wp), jnp.float32)
     out_spec = pl.BlockSpec((bh, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     return pl.pallas_call(
         partial(_hs_tiled_kernel, t_iters=t_iters, bh=bh, w=w, pad=pad),
         grid=(h // bh,),
@@ -206,7 +218,7 @@ def _launch_interpret(fxp, fyp, ftp, rdp, up, vp, t_iters, bh, pad):
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.float32),
         ),
-        in_specs=[any_spec] * 6,
+        in_specs=[hbm_spec] * 6,
         out_specs=(out_spec, out_spec),
         scratch_shapes=[buf() for _ in range(6)] + [pltpu.SemaphoreType.DMA((6,))],
         interpret=True,

@@ -40,7 +40,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ofri_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ofri_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
 

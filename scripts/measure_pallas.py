@@ -74,7 +74,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    signal.alarm(240)
+    signal.alarm(900)  # fresh-process session claims can take 3-10 min (round-2 log)
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
     emit("probe", device=str(jax.devices()[0]),
          remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
@@ -177,6 +177,39 @@ def main():
     m_lp, t1lp = marginal(lk_p, (im1, im2, u0, u0))
     emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
          speedup_vs_xla=m_lx / m_lp)
+
+    # ---------------- whole-solve HS / Liu-Shen kernels at 512^2 ------------
+    from opticalflow_ri_tpu.models.horn_schunck import hs_solve
+    from opticalflow_ri_tpu.models.liu_shen import liu_shen_solve
+
+    z512 = jnp.zeros((h, w), jnp.float32)
+    hs_xla512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="xla")
+    hs_pal512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="pallas")
+    signal.alarm(2400)
+    m_hsx, _ = marginal(hs_xla512, (im1, im2))
+    emit("hs_whole_xla_512", marginal_ms=m_hsx * 1e3)
+    uw, vw, _ = hs_pal512(im1, im2)
+    ux, vx, _ = hs_xla512(im1, im2)
+    emit("hs_whole_pallas_compiled",
+         max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
+    signal.alarm(900)
+    m_hsp, _ = marginal(hs_pal512, (im1, im2))
+    emit("hs_whole_pallas_512", marginal_ms=m_hsp * 1e3,
+         speedup_vs_xla=m_hsx / m_hsp)
+
+    ls_xla = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="xla")
+    ls_pal = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="pallas")
+    signal.alarm(2400)
+    m_lsx, _ = marginal(ls_xla, (im1, im2))
+    emit("ls_whole_xla_512", marginal_ms=m_lsx * 1e3)
+    uw, vw, _ = ls_pal(im1, im2)
+    ux, vx, _ = ls_xla(im1, im2)
+    emit("ls_whole_pallas_compiled",
+         max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
+    signal.alarm(900)
+    m_lsp, _ = marginal(ls_pal, (im1, im2))
+    emit("ls_whole_pallas_512", marginal_ms=m_lsp * 1e3,
+         speedup_vs_xla=m_lsx / m_lsp)
 
     # ---------------- HS temporal-blocked tiled kernel (large images) -------
     from opticalflow_ri_tpu.models.horn_schunck import hs_solve
