@@ -85,6 +85,80 @@ def _hs_body(im1, im2, u0, v0, *, alpha, niter):
     return u, v, err
 
 
+def _hs_body_tblocked(im1, im2, u0, v0, *, alpha, niter, t_block):
+    """Temporal-blocked variant of _hs_body: T Jacobi iterations per halo
+    exchange instead of one.  Each outer step exchanges a T-deep halo (global
+    borders synthesise a T-deep mirror ring — the Jacobi operator preserves
+    mirror symmetry, so the ring evolves exactly like its interior image for
+    T iterations; same math as ops/pallas/hs_tiled.py), runs T wraparound
+    stencil iterations on the padded tile (edge garbage creeps 1 px/iteration
+    and never crosses the halo) and crops.  Collective count drops from
+    ``niter`` ppermute rounds to ``ceil(niter / t_block)``."""
+    from opticalflow_ri_tpu.ops.pallas.hs_tiled import _avg3x3_wrap
+
+    fx, fy, ft = _hs_derivatives_local(im1, im2)
+    alpha = jnp.float32(alpha)
+    rd = 1.0 / (alpha * alpha + fx * fx + fy * fy)
+
+    t = int(t_block)
+    # constants padded once (they do not evolve -> no staleness)
+    fxp = exchange_halo(fx, t, "mirror")
+    fyp = exchange_halo(fy, t, "mirror")
+    ftp = exchange_halo(ft, t, "mirror")
+    rdp = exchange_halo(rd, t, "mirror")
+    h = im1.shape[-2]
+    w = im1.shape[-1]
+
+    def inner(_, uv):
+        u, v = uv
+        u_avg = _avg3x3_wrap(u)
+        v_avg = _avg3x3_wrap(v)
+        der = (fxp * u_avg + fyp * v_avg + ftp) * rdp
+        return (u_avg - fxp * der, v_avg - fyp * der)
+
+    u, v = u0, v0
+    done = 0
+    while done < niter:
+        k = min(t, niter - done)
+        up = exchange_halo(u, t, "mirror")
+        vp = exchange_halo(v, t, "mirror")
+        up, vp = lax.fori_loop(0, k, inner, (up, vp))
+        u = up[..., t : t + h, t : t + w]
+        v = vp[..., t : t + h, t : t + w]
+        done += k
+
+    npix = _global_sum(jnp.ones_like(u))
+    err = (
+        jnp.sqrt(_global_sum((u - u0) ** 2)) + jnp.sqrt(_global_sum((v - v0) ** 2))
+    ) / npix
+    return u, v, err
+
+
+def hs_solve_sharded_tblocked(mesh, im1, im2, alpha, niter, u0, v0,
+                              t_block: int = 10):
+    """Temporal-blocked spatially-sharded Horn-Schunck: same numerics as
+    hs_solve_sharded (to f32 round-off) with t_block x fewer ICI collective
+    rounds.  ``t_block`` must not exceed the local tile extent."""
+    spec = P("y", "x")
+
+    @partial(jax.jit, static_argnames=("niter", "t_block"))
+    def run(im1, im2, u0, v0, niter, t_block):
+        f = shard_map(
+            partial(_hs_body_tblocked, niter=niter, alpha=alpha,
+                    t_block=t_block),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec),
+            out_specs=(spec, spec, P()),
+            check_vma=False,
+        )
+        return f(
+            im1.astype(jnp.float32), im2.astype(jnp.float32),
+            u0.astype(jnp.float32), v0.astype(jnp.float32),
+        )
+
+    return run(im1, im2, u0, v0, niter, t_block)
+
+
 def hs_solve_sharded(mesh, im1, im2, alpha, niter, u0, v0):
     """Spatially-sharded Horn-Schunck; same numerics as models.horn_schunck.
     Arrays are (H, W), sharded over ('y', 'x')."""

@@ -41,6 +41,25 @@ def test_hs_sharded_matches_single_device(piv_pair_medium):
 
 
 @needs_devices
+def test_hs_sharded_tblocked_matches_single_device(piv_pair_medium):
+    """Temporal-blocked halo exchange (T iterations per ppermute round, T-deep
+    mirror ring at global borders) == per-iteration exchange == unsharded,
+    incl. a remainder outer step (50 % 8 != 0)."""
+    from opticalflow_ri_tpu.parallel.sharded import hs_solve_sharded_tblocked
+
+    im1, im2, _, _ = piv_pair_medium
+    z = jnp.zeros(im1.shape, jnp.float32)
+    mesh = make_mesh(8)
+
+    u1, v1, e1 = hs_solve(jnp.asarray(im1), jnp.asarray(im2), 21.0, 50, z, z)
+    ut, vt, et = hs_solve_sharded_tblocked(
+        mesh, jnp.asarray(im1), jnp.asarray(im2), 21.0, 50, z, z, t_block=8)
+
+    np.testing.assert_allclose(np.asarray(ut), np.asarray(u1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(v1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(et), float(e1), rtol=1e-4, atol=1e-7)
+
+
 def test_liu_shen_sharded_matches_single_device(piv_pair_medium):
     im1, im2, _, _ = piv_pair_medium
     z = np.zeros_like(im1)
