@@ -186,7 +186,7 @@ def _print_headline(value, error=None):
     sys.stdout.flush()
 
 
-def _sanity_probe(seconds=900):
+def _sanity_probe(seconds=1500):
     """Check the device answers before dispatching heavy work.  A wedged
     tunnel hangs every dispatch; killing a client mid-compile wedges the
     server further, so bail out early with only a tiny op in flight.
@@ -211,7 +211,7 @@ def _install_watchdog():
     """Backstop for a device that dies mid-benchmark."""
     import signal
 
-    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "5400"))
+    budget = int(os.environ.get("BENCH_WATCHDOG_SECONDS", "7200"))
 
     def on_alarm(signum, frame):
         _print_headline(0.0, "watchdog: device unresponsive")
