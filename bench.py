@@ -101,9 +101,13 @@ def time_config(name, d1, d2, repeats=5, chain=16):
         _force(u, v)
         return time.perf_counter() - t0
 
-    lat = float(np.median([run_k(1) for _ in range(repeats)]))
-    tk = float(np.median([run_k(chain) for _ in range(repeats)]))
-    t2k = float(np.median([run_k(2 * chain) for _ in range(repeats)]))
+    # min over repeats, not median: timing noise on the shared device pool is
+    # strictly additive (contention, tunnel jitter), so the minimum converges
+    # to the true cost fastest; medians recorded a 4x-inflated 256^2 point
+    # during one contended run.
+    lat = float(min(run_k(1) for _ in range(repeats)))
+    tk = float(min(run_k(chain) for _ in range(repeats)))
+    t2k = float(min(run_k(2 * chain) for _ in range(repeats)))
     marginal = (t2k - tk) / chain
     amortized = marginal <= 0
     if amortized:
@@ -133,7 +137,7 @@ def time_batched(name, d1, d2, batch=8, repeats=3):
         u, v = fn(b1, b2)
         _force(u, v)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), batch
+    return float(min(times)), batch
 
 
 def time_streamed(name, d1, d2, k=16, repeats=3):
@@ -155,7 +159,7 @@ def time_streamed(name, d1, d2, k=16, repeats=3):
             u, v = fn(b1, b2)
             _force(u, v)
             times.append(time.perf_counter() - t0)
-        return float(np.median(times))
+        return float(min(times))
 
     t1 = run(1)
     tk = run(k)
@@ -328,7 +332,7 @@ def main():
             try:
                 s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
                 lat, marg, amort, _, _, _ = time_config(
-                    "HS_Fs3_4", jnp.asarray(s1), jnp.asarray(s2), repeats=3
+                    "HS_Fs3_4", jnp.asarray(s1), jnp.asarray(s2), repeats=5
                 )
                 mpix = side * side / 1e6
                 details["size_scaling"][f"{side}x{side}"] = {
