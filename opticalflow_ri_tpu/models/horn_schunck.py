@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from opticalflow_ri_tpu.ops.stencil import correlate3x3, hs_derivatives
+from opticalflow_ri_tpu.ops.stencil import hs_avg3x3, hs_derivatives
 
 HS_AVG_KERNEL = np.array(
     [
@@ -99,13 +99,16 @@ def hs_solve(im1, im2, alpha, niter: int, u0, v0, impl: str = "xla"):
 
         u, v = hs_iterate_pallas_tiled(fx, fy, ft, u0, v0, alpha, niter)
     else:
-        denom = alpha * alpha + fx * fx + fy * fy
+        # reciprocal hoisted out of the loop (f32 division costs a
+        # reciprocal + Newton steps per iteration otherwise); separable
+        # neighbour average — see ops.stencil.hs_avg3x3
+        rdenom = 1.0 / (alpha * alpha + fx * fx + fy * fy)
 
         def body(_, uv):
             u, v = uv
-            u_avg = correlate3x3(u, HS_AVG_KERNEL, "mirror")
-            v_avg = correlate3x3(v, HS_AVG_KERNEL, "mirror")
-            der = (fx * u_avg + fy * v_avg + ft) / denom
+            u_avg = hs_avg3x3(u, "mirror")
+            v_avg = hs_avg3x3(v, "mirror")
+            der = (fx * u_avg + fy * v_avg + ft) * rdenom
             return (u_avg - fx * der, v_avg - fy * der)
 
         u, v = lax.fori_loop(0, niter, body, (u0, v0))
@@ -120,8 +123,8 @@ def hs_solve(im1, im2, alpha, niter: int, u0, v0, impl: str = "xla"):
 def hs_iteration_stencil(u, v, fx, fy, ft, denom):
     """One Jacobi update given precomputed derivative fields — shared by the
     single-chip solver, the Pallas fused kernel and the sharded halo path."""
-    u_avg = correlate3x3(u, HS_AVG_KERNEL, "mirror")
-    v_avg = correlate3x3(v, HS_AVG_KERNEL, "mirror")
+    u_avg = hs_avg3x3(u, "mirror")
+    v_avg = hs_avg3x3(v, "mirror")
     der = (fx * u_avg + fy * v_avg + ft) / denom
     return u_avg - fx * der, v_avg - fy * der
 

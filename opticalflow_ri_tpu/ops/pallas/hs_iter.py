@@ -29,16 +29,16 @@ _W_DIAG = 1.0 / 12.0
 
 
 def _avg3x3_mirror(x):
-    """Mirror-border weighted neighbour average, fully vectorised on the VPU."""
+    """Mirror-border weighted neighbour average, fully vectorised on the VPU.
+
+    Separable form ([1,2,1]⊗[1,2,1] − 4·δ)/12 — see ops.stencil.hs_avg3x3."""
     # mirror pad by 1 in both dims: (a b c | b) style (edge not repeated)
     rows = jnp.concatenate([x[1:2, :], x, x[-2:-1, :]], axis=0)
     p = jnp.concatenate([rows[:, 1:2], rows, rows[:, -2:-1]], axis=1)
-    h, w = x.shape
-    c = lambda dy, dx: p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-    return (
-        (c(-1, 0) + c(1, 0) + c(0, -1) + c(0, 1)) * _W_EDGE
-        + (c(-1, -1) + c(-1, 1) + c(1, -1) + c(1, 1)) * _W_DIAG
-    )
+    two = jnp.float32(2.0)
+    ph = p[:, :-2] + two * p[:, 1:-1] + p[:, 2:]
+    q = ph[:-2, :] + two * ph[1:-1, :] + ph[2:, :]
+    return (q - jnp.float32(4.0) * x) * jnp.float32(1.0 / 12.0)
 
 
 def _avg3x3_mirror_roll(x, iy, ix):
@@ -63,12 +63,10 @@ def _avg3x3_mirror_roll(x, iy, ix):
         bad = 0 if d < 0 else w - 1
         return jnp.where(ix == bad, jnp.broadcast_to(edge, (h, w)), r)
 
-    up = sh_y(x, -1)
-    dn = sh_y(x, 1)
-    return (
-        (up + dn + sh_x(x, -1) + sh_x(x, 1)) * _W_EDGE
-        + (sh_x(up, -1) + sh_x(up, 1) + sh_x(dn, -1) + sh_x(dn, 1)) * _W_DIAG
-    )
+    two = jnp.float32(2.0)
+    p = sh_x(x, -1) + two * x + sh_x(x, 1)
+    q = sh_y(p, -1) + two * p + sh_y(p, 1)
+    return (q - jnp.float32(4.0) * x) * jnp.float32(1.0 / 12.0)
 
 
 def _hs_kernel(alpha_ref, fx_ref, fy_ref, ft_ref, u0_ref, v0_ref,

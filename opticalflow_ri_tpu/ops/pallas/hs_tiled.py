@@ -55,16 +55,16 @@ _N_FIELDS_RESIDENT = 11  # 6 DMA buffers + u/v carries + ~3 temporaries
 
 def _avg3x3_wrap(x):
     """Mirror-free 3x3 neighbour average; wraparound cells are stale-halo
-    garbage by construction (see module docstring)."""
-    up = jnp.roll(x, 1, axis=0)
-    dn = jnp.roll(x, -1, axis=0)
-    return (
-        (up + dn + jnp.roll(x, 1, axis=1) + jnp.roll(x, -1, axis=1)) * _W_EDGE
-        + (
-            jnp.roll(up, 1, axis=1) + jnp.roll(up, -1, axis=1)
-            + jnp.roll(dn, 1, axis=1) + jnp.roll(dn, -1, axis=1)
-        ) * _W_DIAG
-    )
+    garbage by construction (see module docstring).
+
+    Separable form: 1/12·[[1,2,1],[2,0,2],[1,2,1]] = ([1,2,1]⊗[1,2,1]
+    − 4·δ)/12, cutting the 8-roll form to 4 rolls (2 lane-dim) and ~9 VPU
+    ops — the kernel is VPU-bound, so this is a direct speedup.  The
+    staleness reach is unchanged (1 px per axis per iteration)."""
+    two = jnp.float32(2.0)
+    p = jnp.roll(x, 1, axis=1) + two * x + jnp.roll(x, -1, axis=1)
+    q = jnp.roll(p, 1, axis=0) + two * p + jnp.roll(p, -1, axis=0)
+    return (q - jnp.float32(4.0) * x) * jnp.float32(1.0 / 12.0)
 
 
 def _lane_pad(n: int) -> int:

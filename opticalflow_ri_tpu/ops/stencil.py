@@ -48,6 +48,34 @@ def correlate3x3(x: jnp.ndarray, k: np.ndarray, mode: str) -> jnp.ndarray:
     return out
 
 
+def hs_avg3x3(x: jnp.ndarray, mode: str = "mirror") -> jnp.ndarray:
+    """Horn-Schunck neighbour average 1/12·[[1,2,1],[2,0,2],[1,2,1]] (ref:
+    src/HornSchunck.py:87-89) in separable form.
+
+    The kernel decomposes as ([1,2,1]⊗[1,2,1] − 4·δ)/12, so the 8-tap
+    correlation becomes two 3-tap passes plus a centre correction — ~9 VPU
+    ops instead of 15 and one-third the lane-dim shifts, measurably faster
+    in the Jacobi hot loop.  Exactly equal to
+    ``correlate3x3(x, HS_AVG_KERNEL, mode)`` in real arithmetic; f32
+    results differ only in round-off association.
+    """
+    xp = pad2d(x, 1, mode)
+    two = jnp.float32(2.0)
+    p = xp[..., :, :-2] + two * xp[..., :, 1:-1] + xp[..., :, 2:]
+    q = p[..., :-2, :] + two * p[..., 1:-1, :] + p[..., 2:, :]
+    return (q - jnp.float32(4.0) * x) * jnp.float32(1.0 / 12.0)
+
+
+def hs_avg3x3_padded(xp: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """``hs_avg3x3`` on an already 1-px-padded array (halo supplied by a
+    neighbour exchange rather than a border rule)."""
+    two = jnp.float32(2.0)
+    p = xp[..., :, : out_w] + two * xp[..., :, 1 : out_w + 1] + xp[..., :, 2 : out_w + 2]
+    q = p[..., : out_h, :] + two * p[..., 1 : out_h + 1, :] + p[..., 2 : out_h + 2, :]
+    centre = xp[..., 1 : out_h + 1, 1 : out_w + 1]
+    return (q - jnp.float32(4.0) * centre) * jnp.float32(1.0 / 12.0)
+
+
 def correlate3x3_padded(xp: jnp.ndarray, k: np.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Correlate an already 1-px-padded array ``xp`` with a 3x3 kernel.
 

@@ -23,9 +23,8 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from opticalflow_ri_tpu.parallel.halo import exchange_halo
-from opticalflow_ri_tpu.models.horn_schunck import HS_AVG_KERNEL
 from opticalflow_ri_tpu.models import liu_shen as ls
-from opticalflow_ri_tpu.ops.stencil import correlate3x3_padded
+from opticalflow_ri_tpu.ops.stencil import correlate3x3_padded, hs_avg3x3_padded
 from opticalflow_ri_tpu.ops.gaussian import prepare_gaussian_kernel
 
 _SPATIAL = ("y", "x")
@@ -67,13 +66,17 @@ def _global_sum(z):
 def _hs_body(im1, im2, u0, v0, *, alpha, niter):
     fx, fy, ft = _hs_derivatives_local(im1, im2)
     alpha = jnp.float32(alpha)
-    denom = alpha * alpha + fx * fx + fy * fy
+    rdenom = 1.0 / (alpha * alpha + fx * fx + fy * fy)
+
+    def _avg(z):
+        zp = exchange_halo(z, 1, "mirror")
+        return hs_avg3x3_padded(zp, z.shape[-2], z.shape[-1])
 
     def body(_, uv):
         u, v = uv
-        u_avg = _corr3_sharded(u, HS_AVG_KERNEL, "mirror")
-        v_avg = _corr3_sharded(v, HS_AVG_KERNEL, "mirror")
-        der = (fx * u_avg + fy * v_avg + ft) / denom
+        u_avg = _avg(u)
+        v_avg = _avg(v)
+        der = (fx * u_avg + fy * v_avg + ft) * rdenom
         return (u_avg - fx * der, v_avg - fy * der)
 
     u, v = lax.fori_loop(0, niter, body, (u0, v0))
