@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from opticalflow_ri_tpu.ops.padding import pad2d
 from opticalflow_ri_tpu.ops.stencil import correlate3x3
 
 # Original (MATLAB-orientation) kernels; applied as correlations.
@@ -70,29 +71,45 @@ def liu_shen_precompute(im1, im2, h):
     return (iix, iiy, ii, ixt, iyt, b11, b12, b22)
 
 
+def ls_field_stencils(zp, out_h: int, out_w: int):
+    """(d1, d2, f1, f2, m) for one field from a single 1-px-padded copy.
+
+    ``zp`` carries a nearest-border pad (or a halo-exchanged apron on the
+    sharded path).  The mixed-derivative kernel _K_M is rank-1
+    ([1,0,-1]⊗[1,0,-1]/4), so it is computed as a column difference of a row
+    difference — 3 ops instead of the 4-tap sum."""
+    c = lambda dy, dx: zp[..., 1 + dy : 1 + dy + out_h, 1 + dx : 1 + dx + out_w]
+    half = jnp.float32(0.5)
+    d1 = (c(1, 0) - c(-1, 0)) * half
+    d2 = (c(0, 1) - c(0, -1)) * half
+    f1 = c(-1, 0) + c(1, 0)
+    f2 = c(0, -1) + c(0, 1)
+    rdiff = zp[..., :, 2:] - zp[..., :, :-2]
+    m = (rdiff[..., 2:, :] - rdiff[..., :-2, :]) * jnp.float32(0.25)
+    return d1, d2, f1, f2, m
+
+
+def ls_ring_sum(zp, out_h: int, out_w: int):
+    """8-neighbour sum (_K_H) from a zero-padded copy, in separable form:
+    [1,1,1]⊗[1,1,1] − δ — two 3-tap passes + a centre correction instead of
+    the 8-tap sum."""
+    p = zp[..., :-2, :] + zp[..., 1:-1, :] + zp[..., 2:, :]
+    q = p[..., :, :out_w] + p[..., :, 1 : out_w + 1] + p[..., :, 2 : out_w + 2]
+    return q - zp[..., 1 : out_h + 1, 1 : out_w + 1]
+
+
 def liu_shen_iteration(u, v, fields, h):
-    """One fixed-point update (ref: :142-150); shared with the Pallas kernel
-    and the sharded halo-exchange path."""
+    """One fixed-point update (ref: :142-150); the Pallas kernel and the
+    sharded halo-exchange path mirror this exact op structure."""
     iix, iiy, ii, ixt, iyt, b11, b12, b22 = fields
     h = jnp.float32(h)
-    bu = (
-        2.0 * iix * _d1(u)
-        + iix * _d2(v)
-        + iiy * _d1(v)
-        + ii * correlate3x3(u, _K_F1, "nearest")
-        + ii * correlate3x3(v, _K_M, "nearest")
-        + h * correlate3x3(u, _K_H, "constant")
-        + ixt
-    )
-    bv = (
-        iiy * _d1(u)
-        + iix * _d2(u)
-        + 2.0 * iiy * _d2(v)
-        + ii * correlate3x3(u, _K_M, "nearest")
-        + ii * correlate3x3(v, _K_F2, "nearest")
-        + h * correlate3x3(v, _K_H, "constant")
-        + iyt
-    )
+    oh, ow = u.shape[-2], u.shape[-1]
+    du1, du2, fu1, _, mu = ls_field_stencils(pad2d(u, 1, "nearest"), oh, ow)
+    dv1, dv2, _, fv2, mv = ls_field_stencils(pad2d(v, 1, "nearest"), oh, ow)
+    ring_u = ls_ring_sum(pad2d(u, 1, "constant"), oh, ow)
+    ring_v = ls_ring_sum(pad2d(v, 1, "constant"), oh, ow)
+    bu = iix * (2.0 * du1 + dv2) + iiy * dv1 + ii * (fu1 + mv) + h * ring_u + ixt
+    bv = iiy * (du1 + 2.0 * dv2) + iix * du2 + ii * (mu + fv2) + h * ring_v + iyt
     u_new = -(b11 * bu + b12 * bv)
     v_new = -(b12 * bu + b22 * bv)
     return u_new, v_new

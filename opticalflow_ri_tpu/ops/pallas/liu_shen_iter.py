@@ -55,28 +55,34 @@ def _ls_kernel(h_ref, iix_ref, iiy_ref, ii_ref, ixt_ref, iyt_ref,
     h, w = iix.shape
 
     def stencils(z):
-        """All five 'nearest'-border stencil results for one field."""
-        c = _shifts(_pad_nearest(z), h, w)
+        """All five 'nearest'-border stencil results for one field; the
+        mixed-derivative kernel is rank-1 ([1,0,-1]⊗[1,0,-1]/4) so it is a
+        column difference of a row difference (cf. models.liu_shen
+        ls_field_stencils)."""
+        p = _pad_nearest(z)
+        c = _shifts(p, h, w)
         d1 = (c(1, 0) - c(-1, 0)) * 0.5
         d2 = (c(0, 1) - c(0, -1)) * 0.5
         f1 = c(-1, 0) + c(1, 0)
         f2 = c(0, -1) + c(0, 1)
-        m = (c(1, 1) + c(-1, -1) - c(-1, 1) - c(1, -1)) * 0.25
+        rdiff = p[:, 2:] - p[:, :-2]
+        m = (rdiff[2:, :] - rdiff[:-2, :]) * 0.25
         return d1, d2, f1, f2, m
 
     def ring_zero(z):
-        c = _shifts(_pad_zero(z), h, w)
-        return (c(-1, -1) + c(-1, 0) + c(-1, 1) + c(0, -1)
-                + c(0, 1) + c(1, -1) + c(1, 0) + c(1, 1))
+        """8-neighbour sum in separable form [1,1,1]⊗[1,1,1] − δ."""
+        zp = _pad_zero(z)
+        p = zp[:-2, :] + zp[1:-1, :] + zp[2:, :]
+        return p[:, :w] + p[:, 1 : w + 1] + p[:, 2 : w + 2] - z
 
     def body(state):
         u, v, _, k = state
-        du1, du2, fu1, fu2, mu = stencils(u)
-        dv1, dv2, fv1, fv2, mv = stencils(v)
-        bu = (2.0 * iix * du1 + iix * dv2 + iiy * dv1 + ii * fu1
-              + ii * mv + hreg * ring_zero(u) + ixt)
-        bv = (iiy * du1 + iix * du2 + 2.0 * iiy * dv2 + ii * mu
-              + ii * fv2 + hreg * ring_zero(v) + iyt)
+        du1, du2, fu1, _, mu = stencils(u)
+        dv1, dv2, _, fv2, mv = stencils(v)
+        bu = (iix * (2.0 * du1 + dv2) + iiy * dv1 + ii * (fu1 + mv)
+              + hreg * ring_zero(u) + ixt)
+        bv = (iiy * (du1 + 2.0 * dv2) + iix * du2 + ii * (mu + fv2)
+              + hreg * ring_zero(v) + iyt)
         u_new = -(b11 * bu + b12 * bv)
         v_new = -(b12 * bu + b22 * bv)
         err = (

@@ -211,16 +211,20 @@ def _ls_body(im1, im2, u0, v0, *, h_reg, max_iter, tol=1e-8):
     npix = _global_sum(jnp.ones_like(im1))
 
     def iteration(u, v):
-        bu = (
-            2.0 * iix * c(u, ls._K_D1, "nearest") + iix * c(v, ls._K_D2, "nearest")
-            + iiy * c(v, ls._K_D1, "nearest") + ii * c(u, ls._K_F1, "nearest")
-            + ii * c(v, ls._K_M, "nearest") + h_reg * c(u, ls._K_H, "constant") + ixt
-        )
-        bv = (
-            iiy * c(u, ls._K_D1, "nearest") + iix * c(u, ls._K_D2, "nearest")
-            + 2.0 * iiy * c(v, ls._K_D2, "nearest") + ii * c(u, ls._K_M, "nearest")
-            + ii * c(v, ls._K_F2, "nearest") + h_reg * c(v, ls._K_H, "constant") + iyt
-        )
+        # 4 halo exchanges per iteration (one nearest + one zero-border apron
+        # per field) instead of one per stencil; stencil math mirrors
+        # models.liu_shen.liu_shen_iteration exactly.
+        oh, ow = u.shape[-2], u.shape[-1]
+        du1, du2, fu1, _, mu = ls.ls_field_stencils(
+            exchange_halo(u, 1, "nearest"), oh, ow)
+        dv1, dv2, _, fv2, mv = ls.ls_field_stencils(
+            exchange_halo(v, 1, "nearest"), oh, ow)
+        ring_u = ls.ls_ring_sum(exchange_halo(u, 1, "constant"), oh, ow)
+        ring_v = ls.ls_ring_sum(exchange_halo(v, 1, "constant"), oh, ow)
+        bu = (iix * (2.0 * du1 + dv2) + iiy * dv1 + ii * (fu1 + mv)
+              + h_reg * ring_u + ixt)
+        bv = (iiy * (du1 + 2.0 * dv2) + iix * du2 + ii * (mu + fv2)
+              + h_reg * ring_v + iyt)
         return -(b11 * bu + b12 * bv), -(b12 * bu + b22 * bv)
 
     def cond(state):
