@@ -190,12 +190,13 @@ def _print_headline(value, error=None):
     sys.stdout.flush()
 
 
-def _sanity_probe(seconds=1500):
+def _sanity_probe(seconds=3600):
     """Check the device answers before dispatching heavy work.  A wedged
     tunnel hangs every dispatch; killing a client mid-compile wedges the
     server further, so bail out early with only a tiny op in flight.
-    The budget is generous: fresh-process session claims through the tunnel
-    were observed to take 3-10 minutes (round-2 log) — a slow claim is not a
+    The budget is generous: device-pool claims through the tunnel were
+    observed to queue for 25+ minutes under contention (a 1500 s budget
+    zeroed a run whose claim landed minutes later) — a slow claim is not a
     wedge and must not zero the benchmark."""
     import signal
 
@@ -207,7 +208,9 @@ def _sanity_probe(seconds=1500):
     signal.alarm(seconds)
     import jax.numpy as jnp
 
+    t0 = time.perf_counter()
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
+    print(f"# device claimed in {time.perf_counter() - t0:.1f} s", file=sys.stderr)
     signal.alarm(0)
 
 

@@ -49,8 +49,21 @@ def batched_pipeline(name: str):
     """Jitted vmapped pipeline over a leading batch axis of image pairs.
 
     vmap multiplies the working set by the batch size (VMEM spill risk at
-    large batches); prefer ``scan_pipeline`` for throughput streaming."""
-    return jax.jit(jax.vmap(pipeline_fn(name)))
+    large batches); prefer ``scan_pipeline`` for throughput streaming.
+
+    Dispatches solvers to their XLA paths: vmapping a whole-solve Pallas
+    kernel batches its grid — an unproven variant whose working set breaks
+    the kernel's VMEM-residency premise — whereas scan keeps the single-pair
+    kernels exactly as validated (see scan_pipeline)."""
+    fn = jax.vmap(pipeline_fn(name))
+
+    def batched(im1s, im2s):
+        from opticalflow_ri_tpu.ops.pallas import force_xla
+
+        with force_xla():  # dispatch resolves at trace time
+            return fn(im1s, im2s)
+
+    return jax.jit(batched)
 
 
 @lru_cache(maxsize=None)

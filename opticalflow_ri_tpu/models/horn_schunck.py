@@ -44,15 +44,18 @@ HS_AVG_KERNEL = np.array(
 
 
 def _pick_impl(shape) -> str:
-    """Use the Pallas fused kernel on TPU for cleanly-tiled shapes, the XLA
+    """Use the Pallas fused kernels on TPU for cleanly-tiled shapes, the XLA
     loop elsewhere (CPU tests, odd shapes, batched/vmapped calls).
 
-    Pallas is currently opt-in via OFRI_ENABLE_PALLAS=1: Mosaic compilation
-    through the axon tunnel has been observed to hang, and the XLA loop is
-    already VMEM-resident-fast on this problem size.
+    Hardware A/B (scripts/pallas_ab_results.json, min-estimator over 5
+    repeats): since the separable neighbour average landed in the kernel
+    body, the whole-state VMEM-resident kernel beats the XLA fori_loop at
+    512^2 too (0.29 vs 0.73 ms per 100 Jacobi iterations, bit-identical
+    output) — an earlier 'XLA wins at 512^2' determination predates that
+    change.  Beyond whole-state VMEM residency the temporal-blocked tiled
+    kernel takes over: 1.39x at 1024^2 (2.77 vs 3.86 ms) and 4.45x at 2048^2
+    (9.19 vs 40.9 ms), parity 3.3e-6 over 100 iterations.
     """
-    import os
-
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
     if not pallas_default_on():
@@ -60,17 +63,11 @@ def _pick_impl(shape) -> str:
     from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.hs_tiled import hs_tiled_supports_pallas
 
-    # Beyond whole-state VMEM residency the temporal-blocked tiled kernel is
-    # default-ON: hardware A/B (scripts/pallas_ab_results.json) measures
-    # 1.45x at 1024^2 (4.5 vs 6.5 ms) and 3.24x at 2048^2 (17.9 vs 58.1 ms)
-    # over the XLA fori_loop, parity 7.6e-6 over 100 Jacobi iterations.  At
-    # <= ~512^2 the XLA loop wins outright (0.68 vs 0.93 ms), so whole-state
-    # Pallas stays opt-in.
-    if not hs_supports_pallas(shape) and hs_tiled_supports_pallas(shape):
+    if hs_supports_pallas(shape):
+        return "pallas"
+    if hs_tiled_supports_pallas(shape):
         return "pallas_tiled"
-    if os.environ.get("OFRI_ENABLE_PALLAS") != "1":
-        return "xla"
-    return "pallas" if hs_supports_pallas(shape) else "xla"
+    return "xla"
 
 
 @partial(jax.jit, static_argnames=("niter", "impl"))

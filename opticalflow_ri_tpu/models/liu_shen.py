@@ -116,12 +116,12 @@ def liu_shen_iteration(u, v, fields, h):
 
 
 def _ls_impl(shape) -> str:
-    """Static dispatch: the fused VMEM-resident kernel measured 3.1x the XLA
-    while_loop on a v5e (0.29 vs 0.90 ms, 512^2, max|d|~5e-10 —
-    scripts/pallas_ab_results.json) when the backend policy allows.  Unlike
-    Horn-Schunck (one stencil per iteration, XLA wins), Liu-Shen's twelve
-    3x3 stencils per iteration stream the fields from HBM twelve times under
-    XLA, which residency eliminates."""
+    """Static dispatch: the fused VMEM-resident kernel vs the XLA while_loop.
+    Current hardware A/B (scripts/pallas_ab_results.json): ~parity at 512^2
+    (0.98 vs 0.98 ms, max|d| 0) — the separable-stencil rewrite sped the XLA
+    path up 2.5x and closed the round-1 3.1x gap.  The kernel stays
+    default-ON: identical output, and it keeps the whole fixed-point state
+    VMEM-resident for shapes where XLA's fusion might regress."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
     if not pallas_default_on():

@@ -7,10 +7,11 @@ shapes that tile cleanly, and the fallbacks keep CPU tests and odd shapes
 working.  Parity between both paths is asserted in tests.
 
 Dispatch policy (``pallas_default_on``): the kernels that measured FASTER than
-XLA on hardware (Farneback updateMatrices 15x, blur5+flow, LK Gauss-Newton —
-see scripts/pallas_ab_results.json) default ON for TPU backends; the ones XLA
-already wins (whole-solve HS/Liu-Shen Jacobi loops) stay opt-in via
-OFRI_ENABLE_PALLAS=1.  On the tunneled 'axon' backend, server-side Mosaic
+XLA on hardware (Farneback updateMatrices 8x, blur5+flow 1.4x, LK Gauss-Newton
+2.3x, whole-solve HS 2.6x, temporal-blocked tiled HS 4.5x at 2048^2 — see
+scripts/pallas_ab_results.json) default ON for TPU backends; whole-solve
+Liu-Shen measures ~parity and stays ON (bit-identical, saves nothing either
+way).  On the tunneled 'axon' backend, server-side Mosaic
 compiles hang the device, so Pallas only engages when the client-side compile
 path (PALLAS_AXON_REMOTE_COMPILE=1, read by the interpreter at start-up) is
 active.  OFRI_DISABLE_PALLAS=1 force-disables everything.

@@ -30,8 +30,13 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pallas_ab_result
 def emit(stage, **kw):
     RESULTS[stage] = kw
     print(json.dumps({"stage": stage, **kw}), flush=True)
-    with open(OUT, "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    # Never clobber a complete prior artifact with a near-empty one: a
+    # watchdog that fires during the device claim (pool contention) must not
+    # erase the last good measurements.  Only write once we have at least one
+    # real measurement stage; the watchdog marker alone stays on stdout.
+    if any(s not in ("watchdog", "probe") for s in RESULTS):
+        with open(OUT, "w") as f:
+            json.dump(RESULTS, f, indent=1)
 
 
 def force(*xs):
@@ -85,7 +90,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    signal.alarm(900)  # fresh-process session claims can take 3-10 min (round-2 log)
+    # Fresh-process session claims through the contended pool were observed
+    # to queue 25+ min (round-2: a 900 s budget zeroed one run, and a 1500 s
+    # budget zeroed a bench run).
+    signal.alarm(3600)
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
     emit("probe", device=str(jax.devices()[0]),
          remote_compile=os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
