@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/Farneback_Fs0_0_PyrLvls2.py: runs the
-calibrated 'Farneback_Fs0_0_PyrLvls2' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "Farneback_Fs0_0_PyrLvls2" — Farnebäck under a 2-level
+driver pyramid (ref: examples/Farneback_Fs0_0_PyrLvls2.py): no pre-filter, the
+driver's 2 levels stack on Farnebäck's own internal pyramid.
 
-import os
-import sys
+    python3 examples/Farneback_Fs0_0_PyrLvls2.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "Farneback_Fs0_0_PyrLvls2"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import FarnebackAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "Farneback_Fs0_0_PyrLvls2",
+        FarnebackAdapter(),
+        filter_sigma=0.0, pyr_levels=2,
+    )

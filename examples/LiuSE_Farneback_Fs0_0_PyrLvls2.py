@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/LiuSE_Farneback_Fs0_0_PyrLvls2.py: runs the
-calibrated 'LiuSE_Farneback_Fs0_0_PyrLvls2' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "LiuSE_Farneback_Fs0_0_PyrLvls2" — 2-level pyramidal
+Farnebäck with the Liu-Shen refiner (ref:
+examples/LiuSE_Farneback_Fs0_0_PyrLvls2.py): no pre-filter, FILTER_OPT=0.48
+for the refiner's images, Liu-Shen alpha=10 — the FB-combination value.
 
-import os
-import sys
+    python3 examples/LiuSE_Farneback_Fs0_0_PyrLvls2.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "LiuSE_Farneback_Fs0_0_PyrLvls2"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import FarnebackAdapter, LiuShenOpticalFlowAlgoAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "LiuSE_Farneback_Fs0_0_PyrLvls2",
+        FarnebackAdapter(),
+        filter_sigma=0.0, pyr_levels=2, filter_opt=0.48,
+        optional_adapter=LiuShenOpticalFlowAlgoAdapter(10),
+    )

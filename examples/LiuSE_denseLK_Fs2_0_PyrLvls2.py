@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/LiuSE_denseLK_Fs2_0_PyrLvls2.py: runs the
-calibrated 'LiuSE_denseLK_Fs2_0_PyrLvls2' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "LiuSE_denseLK_Fs2_0_PyrLvls2" — 2-level pyramidal dense
+Lucas-Kanade with the Liu-Shen refiner (ref:
+examples/LiuSE_denseLK_Fs2_0_PyrLvls2.py): sigma=2.0 pre-filter, 27x27 window,
+5 GN iterations per level, FILTER_OPT=0.48, Liu-Shen alpha=10 — the
+LK-combination value (ref: examples/LiuSE_denseLK_Fs2_0_PyrLvls2.py:70).
 
-import os
-import sys
+    python3 examples/LiuSE_denseLK_Fs2_0_PyrLvls2.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "LiuSE_denseLK_Fs2_0_PyrLvls2"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import DenseLucasKanadeAdapter, LiuShenOpticalFlowAlgoAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "LiuSE_denseLK_Fs2_0_PyrLvls2",
+        DenseLucasKanadeAdapter(Niter=5, halfWindow=13),
+        filter_sigma=2.0, pyr_levels=2, filter_opt=0.48,
+        optional_adapter=LiuShenOpticalFlowAlgoAdapter(10), warping=False,
+    )

@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/PyHSchunck_Fs3_4.py: runs the
-calibrated 'PyHSchunck_Fs3_4' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "PyHSchunck_Fs3_4" — Horn-Schunck on the bundled PIV pair
+(ref: examples/PyHSchunck_Fs3_4.py): sigma=3.4 Gaussian pre-filter, single
+pyramid level, 600 Jacobi iterations, h=21 — the (Bits08, Ni06) level-1 entry
+of the h-parameter calibration table (ref: examples/PyHSchunck_Fs3_4.py:63-123).
 
-import os
-import sys
+    python3 examples/PyHSchunck_Fs3_4.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "PyHSchunck_Fs3_4"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import HSOpticalFlowAlgoAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "PyHSchunck_Fs3_4",
+        HSOpticalFlowAlgoAdapter([21.0], 600),
+        filter_sigma=3.4, pyr_levels=1,
+    )

@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/denseLK_Fs2_0.py: runs the
-calibrated 'denseLK_Fs2_0' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "denseLK_Fs2_0" — dense windowed Lucas-Kanade
+(ref: examples/denseLK_Fs2_0.py): sigma=2.0 pre-filter, single level,
+27x27 window (halfWindow=13), 5 Gauss-Newton iterations, FILTER_OPT=0.48,
+warping disabled (the reference LK adapter's pyramidal default,
+ref: src/denseLucasKanade_PyCL.py:177-182).
 
-import os
-import sys
+    python3 examples/denseLK_Fs2_0.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "denseLK_Fs2_0"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import DenseLucasKanadeAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "denseLK_Fs2_0",
+        DenseLucasKanadeAdapter(Niter=5, halfWindow=13),
+        filter_sigma=2.0, pyr_levels=1, filter_opt=0.48, warping=False,
+    )

@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
-"""Drop-in equivalent of the reference's examples/denseLK_Fs2_0_PyrLvls2.py: runs the
-calibrated 'denseLK_Fs2_0_PyrLvls2' configuration on the bundled PIV pair and saves the
-flow as .mat.  Extra CLI flags (--im1/--im2/--out) pass through to
-run_config.py."""
+"""Calibrated config "denseLK_Fs2_0_PyrLvls2" — 2-level pyramidal dense
+Lucas-Kanade (ref: examples/denseLK_Fs2_0_PyrLvls2.py): sigma=2.0 pre-filter,
+27x27 window, 5 Gauss-Newton iterations per level, FILTER_OPT=0.48, warping
+disabled (ref: src/denseLucasKanade_PyCL.py:177-182).
 
-import os
-import sys
+    python3 examples/denseLK_Fs2_0_PyrLvls2.py [--im1 a.tif --im2 b.tif --out flow.mat]
+"""
+import _example_lib  # noqa: F401  (must be first: backend env setup)
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-os.execv(sys.executable,
-         [sys.executable, os.path.join(HERE, "run_config.py"), "denseLK_Fs2_0_PyrLvls2"]
-         + sys.argv[1:])
+from opticalflow_ri_tpu import DenseLucasKanadeAdapter
+
+if __name__ == "__main__":
+    _example_lib.run_example(
+        "denseLK_Fs2_0_PyrLvls2",
+        DenseLucasKanadeAdapter(Niter=5, halfWindow=13),
+        filter_sigma=2.0, pyr_levels=2, filter_opt=0.48, warping=False,
+    )

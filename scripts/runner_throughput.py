@@ -71,7 +71,6 @@ def main():
 
         done = len(state["done"])
         mpix = SIDE * SIDE / 1e6
-        compute_s = state["seconds_per_batch"] * state["batches"]
         result = {
             "config": CONFIG,
             "pairs": done,
@@ -79,10 +78,10 @@ def main():
             "batch_size": BATCH,
             "image": f"{SIDE}x{SIDE} synthetic TIFF",
             "campaign_wall_seconds": wall,
-            "compute_seconds": compute_s,
+            "compute_wait_seconds": state.get("compute_wait_s"),
+            "transfer_save_seconds": state.get("transfer_save_s"),
             "pairs_per_s_wall": done / wall,
             "mpix_per_s_wall": done * mpix / wall,
-            "mpix_per_s_compute": done * mpix / compute_s,
             "mat_outputs_written": done,
         }
         assert done == N_PAIRS and not state["failed"], state
