@@ -121,14 +121,22 @@ def _ls_impl(shape) -> str:
     (0.98 vs 0.98 ms, max|d| 0) — the separable-stencil rewrite sped the XLA
     path up 2.5x and closed the round-1 3.1x gap.  The kernel stays
     default-ON: identical output, and it keeps the whole fixed-point state
-    VMEM-resident for shapes where XLA's fusion might regress."""
+    VMEM-resident for shapes where XLA's fusion might regress.  Beyond
+    whole-state residency the temporal-blocked tiled kernel takes over
+    (T iterations per HBM pass; tolerance checked per block — see
+    ops/pallas/ls_tiled.py)."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
     if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import ls_supports_pallas
+    from opticalflow_ri_tpu.ops.pallas.ls_tiled import ls_tiled_supports_pallas
 
-    return "pallas" if ls_supports_pallas(shape) else "xla"
+    if ls_supports_pallas(shape):
+        return "pallas"
+    if ls_tiled_supports_pallas(shape):
+        return "pallas_tiled"
+    return "xla"
 
 
 @partial(jax.jit, static_argnames=("max_iter", "impl"))
@@ -151,6 +159,14 @@ def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8,
         from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import liu_shen_iterate_pallas
 
         return liu_shen_iterate_pallas(
+            h, fields, u0.astype(jnp.float32), v0.astype(jnp.float32),
+            max_iter=max_iter, tol=tol,
+        )
+
+    if impl == "pallas_tiled":
+        from opticalflow_ri_tpu.ops.pallas.ls_tiled import liu_shen_iterate_pallas_tiled
+
+        return liu_shen_iterate_pallas_tiled(
             h, fields, u0.astype(jnp.float32), v0.astype(jnp.float32),
             max_iter=max_iter, tol=tol,
         )

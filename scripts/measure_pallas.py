@@ -266,6 +266,45 @@ def main():
         emit(f"hs_tiled_{side}", marginal_ms=m_ht * 1e3,
              speedup_vs_xla=m_hx / m_ht)
 
+    # ---------------- LS temporal-blocked tiled kernel (large images) -------
+    from opticalflow_ri_tpu.models.liu_shen import liu_shen_precompute
+    from opticalflow_ri_tpu.ops.pallas.ls_tiled import (
+        liu_shen_iterate_pallas_tiled, ls_tiled_supports_pallas,
+    )
+
+    for side in (1024, 2048):
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        z = jnp.zeros((side, side), jnp.float32)
+        # tol=0 forces the full 60 iterations on both paths: a scaling
+        # comparison, not a convergence race
+        ls_x = lambda a, b: liu_shen_solve(a, b, 10.0, z, z, max_iter=60,
+                                           tol=0.0, impl="xla")
+        signal.alarm(900)
+        m_lx2, _ = marginal(ls_x, (s1, s2), chain=4)
+        emit(f"ls_xla_{side}", marginal_ms=m_lx2 * 1e3)
+
+        if not ls_tiled_supports_pallas((side, side)):
+            emit(f"ls_tiled_{side}", skipped="unsupported shape")
+            continue
+        fields = _jax.block_until_ready(
+            liu_shen_precompute(s1 / jnp.max(s1), s2 / jnp.max(s2), 10.0))
+        signal.alarm(2400)
+        ut, vt, _ = liu_shen_iterate_pallas_tiled(10.0, fields, z, z,
+                                                  max_iter=60, tol=0.0)
+        ur, vr, _ = ls_x(s1, s2)
+        diff = float(jnp.max(jnp.abs(ut - ur))) + float(jnp.max(jnp.abs(vt - vr)))
+        emit(f"ls_tiled_{side}_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_lt, _ = marginal(
+            lambda f: liu_shen_iterate_pallas_tiled(10.0, f, z, z,
+                                                    max_iter=60, tol=0.0),
+            (fields,), chain=4,
+        )
+        emit(f"ls_tiled_{side}", marginal_ms=m_lt * 1e3,
+             speedup_vs_xla=m_lx2 / m_lt)
+
     # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
     # resolved at trace time, and the inner solver jits cache their traces, so
     # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per

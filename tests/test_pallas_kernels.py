@@ -373,3 +373,43 @@ def test_hs_tiled_pallas_matches_xla_interpret():
     assert hs_tiled_supports_pallas((1024, 1024))
     assert not hs_tiled_supports_pallas((100, 130))  # off-tile
     assert stripe_height(2048, 2048, 20) is not None
+
+
+def test_ls_tiled_pallas_matches_xla_interpret():
+    """Temporal-blocked Liu-Shen stripes with exact in-kernel border rules
+    ('nearest' stencils + zero-pad ring) == the XLA while_loop, across
+    multi-stripe grids including global top/bottom stripes, with a tail
+    block (max_iter % t_block != 0) and nonzero flow init."""
+    from opticalflow_ri_tpu.models.liu_shen import (
+        liu_shen_precompute, liu_shen_solve,
+    )
+    from opticalflow_ri_tpu.ops.pallas.ls_tiled import (
+        liu_shen_iterate_pallas_tiled, ls_stripe_height, ls_tiled_supports_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    for (h, w, bh, t) in [(128, 256, 32, 8), (96, 128, 16, 12)]:
+        a = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+        u0 = jnp.asarray(rng.uniform(-0.5, 0.5, (h, w)).astype(np.float32))
+        v0 = jnp.asarray(rng.uniform(-0.5, 0.5, (h, w)).astype(np.float32))
+
+        ux, vx, ex = liu_shen_solve(a, b, 10.0, u0, v0, max_iter=30, tol=0.0,
+                                    impl="xla")
+        an = a / jnp.max(a)
+        bn = b / jnp.max(b)
+        fields = liu_shen_precompute(an, bn, 10.0)
+        ut, vt, et = liu_shen_iterate_pallas_tiled(
+            10.0, fields, u0, v0, max_iter=30, tol=0.0, t_block=t, bh=bh,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(ut), np.asarray(ux),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vt), np.asarray(vx),
+                                   rtol=1e-5, atol=1e-6)
+        # the error metric of the last iteration matches the reference's
+        np.testing.assert_allclose(float(et), float(ex), rtol=1e-3)
+
+    assert ls_tiled_supports_pallas((1024, 1024))
+    assert ls_tiled_supports_pallas((2048, 2048))
+    assert not ls_tiled_supports_pallas((100, 130))
+    assert ls_stripe_height(2048, 2048, 20) >= 20
