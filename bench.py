@@ -90,7 +90,7 @@ def time_config(name, d1, d2, repeats=5, chain=16):
     """
     from opticalflow_ri_tpu.compile import compiled_pipeline
 
-    fn = compiled_pipeline(name)
+    fn = name if callable(name) else compiled_pipeline(name)
     u, v = fn(d1, d2)
     _force(u, v)  # compile + warm
 
@@ -173,9 +173,13 @@ def time_streamed(name, d1, d2, k=16, repeats=3):
 _HEADLINE_PRINTED = False
 
 
-def _print_headline(value, error=None):
+def _print_headline(value, error=None, failed_configs=None, final=False):
+    """Emit the one-line JSON record.  Printed once early (so a later hang
+    cannot lose it) and again as the FINAL stdout line (round 2's driver
+    parse found nothing because the early emit was buried mid-stream —
+    BENCH_r02.json "parsed": null)."""
     global _HEADLINE_PRINTED
-    if _HEADLINE_PRINTED:
+    if _HEADLINE_PRINTED and not final:
         return
     _HEADLINE_PRINTED = True
     line = {
@@ -184,6 +188,8 @@ def _print_headline(value, error=None):
         "unit": "Mpix/s",
         "vs_baseline": round(value / BASELINE_MPIX_S, 1),
     }
+    if failed_configs is not None:
+        line["failed_configs"] = failed_configs
     if error:
         line["error"] = error
     print(json.dumps(line))
@@ -263,6 +269,8 @@ def main():
     ]
     if os.environ.get("BENCH_QUICK"):
         names = names[:1]
+    if os.environ.get("BENCH_CONFIGS"):  # subset/override, e.g. smoke tests
+        names = os.environ["BENCH_CONFIGS"].split(",")
 
     details = {"device": device, "image": "parabolic01 512x512", "configs": {}}
     for name in names:
@@ -297,7 +305,7 @@ def main():
             print(f"# {name}: FAILED {e!r}", file=sys.stderr)
         _dump_details(details)
 
-    if not os.environ.get("BENCH_QUICK"):
+    if not (os.environ.get("BENCH_QUICK") or os.environ.get("BENCH_CONFIGS")):
         try:
             t, b = time_batched("PyHSchunck_Fs3_4", d1, d2)
             details["batched"] = {
@@ -322,37 +330,78 @@ def main():
                 details["streamed"][sname] = {"error": repr(e)}
             _dump_details(details)
 
-    if not os.environ.get("BENCH_QUICK"):
+    if not (os.environ.get("BENCH_QUICK") or os.environ.get("BENCH_CONFIGS")):
         # image-size scaling: the 512^2 PIV pair underfills the chip; larger
         # frames amortize per-dispatch overhead and show the throughput
         # headroom (synthetic pairs, HS_Fs3_4 config)
         from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
 
         # all points measured identically (synthetic pairs), incl. 512 so the
-        # scaling curve does not mix image sources with the config section
+        # scaling curve does not mix image sources with the config section.
+        # One row per solver family (round-2 scaled only HS): HS/LK/FB time
+        # their calibrated single-level configs; Liu-Shen times the bare
+        # 60-iteration solve (the reference composes it with a main adapter,
+        # so no registered pure-LS config exists to time).
+        from opticalflow_ri_tpu.models.liu_shen import _ls_impl, liu_shen_solve
+
+        def _ls_timed(side):
+            z = jnp.zeros((side, side), jnp.float32)
+            impl = _ls_impl((side, side))
+
+            @jax.jit
+            def f(a, b):
+                u, v, _ = liu_shen_solve(a, b, 10.0, z, z, max_iter=60,
+                                         tol=0.0, impl=impl)
+                return u, v
+
+            return f
+
+        solver_rows = [
+            ("HS_Fs3_4", lambda side: "HS_Fs3_4", 16, 5),
+            ("denseLK_Fs2_0", lambda side: "denseLK_Fs2_0", 4, 3),
+            ("Farneback_Fs0_0", lambda side: "Farneback_Fs0_0", 4, 3),
+            ("LiuShen_60it", _ls_timed, 4, 3),
+        ]
         details["size_scaling"] = {}
-        for side in (256, 512, 1024, 2048):
-            try:
-                s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
-                lat, marg, amort, _, _, _ = time_config(
-                    "HS_Fs3_4", jnp.asarray(s1), jnp.asarray(s2), repeats=5
-                )
-                mpix = side * side / 1e6
-                details["size_scaling"][f"{side}x{side}"] = {
-                    "latency_seconds": lat,
-                    "marginal_seconds": marg,
-                    "marginal_is_amortized_fallback": amort,
-                    "mpix_per_s": mpix / marg,
-                }
-                print(f"# size {side}^2: marginal {marg*1e3:.2f} ms "
-                      f"({mpix/marg:.2f} Mpix/s)", file=sys.stderr)
-            except Exception as e:
-                details["size_scaling"][f"{side}x{side}"] = {"error": repr(e)}
-            _dump_details(details)
+        for label, mk, chain, reps in solver_rows:
+            details["size_scaling"][label] = {}
+            for side in (256, 512, 1024, 2048):
+                try:
+                    s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+                    lat, marg, amort, _, _, _ = time_config(
+                        mk(side), jnp.asarray(s1), jnp.asarray(s2),
+                        repeats=reps, chain=chain,
+                    )
+                    mpix = side * side / 1e6
+                    details["size_scaling"][label][f"{side}x{side}"] = {
+                        "latency_seconds": lat,
+                        "marginal_seconds": marg,
+                        "marginal_is_amortized_fallback": amort,
+                        "mpix_per_s": mpix / marg,
+                    }
+                    print(f"# size {label} {side}^2: marginal {marg*1e3:.2f} ms "
+                          f"({mpix/marg:.2f} Mpix/s)", file=sys.stderr)
+                except Exception as e:
+                    details["size_scaling"][label][f"{side}x{side}"] = {"error": repr(e)}
+                _dump_details(details)
 
     _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})
-    _print_headline(hs.get("mpix_per_s", 0.0))
+    failed = sorted(
+        name for name, entry in details["configs"].items() if "error" in entry
+    )
+    details["failed_configs"] = failed
+    _dump_details(details)
+    # final stdout line = the headline record (driver-parseable); a red grid
+    # is a failed benchmark run, so exit non-zero
+    _print_headline(
+        hs.get("mpix_per_s", 0.0),
+        error=(f"{len(failed)} grid configs failed: {failed}" if failed else None),
+        failed_configs=len(failed),
+        final=True,
+    )
+    if failed:
+        sys.exit(1)
 
 
 def _dump_details(details):

@@ -128,11 +128,18 @@ class FlowBatchRunner:
         def writer():
             import jax.numpy as jnp
 
+            # The writer thread is the sole owner of ``state`` while the
+            # pipeline runs: the main loop routes its failures through out_q
+            # instead of mutating state directly, so a checkpoint can never
+            # be serialized mid-update and silently drop in-flight failures.
             while True:
                 item = out_q.get()
                 if item is None:
                     return
                 names, u, v = item
+                if u is None:  # failure already logged by the main loop
+                    state["failed"].extend(names)
+                    continue
                 try:
                     t0 = time.perf_counter()
                     float(jnp.sum(u))  # completion (compute not yet overlapped)
@@ -168,7 +175,7 @@ class FlowBatchRunner:
             names, im1, im2 = item
             if isinstance(im1, Exception):
                 log.error("load failed for %s: %r", names, im1)
-                state["failed"].extend(names)
+                out_q.put((names, None, None))
                 continue
 
             if self.profile_dir and n_dispatched == 1 and not profiling:
@@ -179,7 +186,7 @@ class FlowBatchRunner:
                 u, v = fn(im1, im2)  # async dispatch
             except Exception as e:
                 log.error("dispatch failed for %s: %r", names, e)
-                state["failed"].extend(names)
+                out_q.put((names, None, None))
                 continue
             out_q.put((names, u, v))
             n_dispatched += 1

@@ -208,8 +208,9 @@ def _um_impl(shape, sample_max_shift=6) -> str:
     (measured 11x the XLA contraction on a v5e, bit-identical —
     scripts/pallas_ab_results.json) when the backend policy allows, else XLA."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-    if not pallas_default_on():
+    if not (pallas_default_on() and is_validated("um")):
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.tent_sample import (
         update_matrices_supports_pallas,
@@ -243,8 +244,11 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
     ~5x the stencil + elementwise path on a v5e, bit-identical —
     scripts/pallas_ab_results.json) when the backend policy allows."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-    if impl == "pallas" or (impl == "auto" and pallas_default_on()):
+    if impl == "pallas" or (
+        impl == "auto" and pallas_default_on() and is_validated("blur5")
+    ):
         from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
             blur5_flow_pallas, blur5_flow_supports_pallas,
         )

@@ -57,15 +57,16 @@ def _pick_impl(shape) -> str:
     (9.19 vs 40.9 ms), parity 3.3e-6 over 100 iterations.
     """
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
     if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.hs_iter import hs_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.hs_tiled import hs_tiled_supports_pallas
 
-    if hs_supports_pallas(shape):
+    if hs_supports_pallas(shape) and is_validated("hs_whole"):
         return "pallas"
-    if hs_tiled_supports_pallas(shape):
+    if hs_tiled_supports_pallas(shape) and is_validated("hs_tiled"):
         return "pallas_tiled"
     return "xla"
 

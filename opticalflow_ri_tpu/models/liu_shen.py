@@ -124,17 +124,20 @@ def _ls_impl(shape) -> str:
     VMEM-resident for shapes where XLA's fusion might regress.  Beyond
     whole-state residency the temporal-blocked tiled kernel takes over
     (T iterations per HBM pass; tolerance checked per block — see
-    ops/pallas/ls_tiled.py)."""
+    ops/pallas/ls_tiled.py).  Every default path must be hardware-proven:
+    dispatch consults the validated-kernel registry, so an unmeasured kernel
+    falls back to XLA instead of shipping untested (VERDICT.md round 2)."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
     if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.liu_shen_iter import ls_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.ls_tiled import ls_tiled_supports_pallas
 
-    if ls_supports_pallas(shape):
+    if ls_supports_pallas(shape) and is_validated("ls_whole"):
         return "pallas"
-    if ls_tiled_supports_pallas(shape):
+    if ls_tiled_supports_pallas(shape) and is_validated("ls_tiled"):
         return "pallas_tiled"
     return "xla"
 

@@ -66,8 +66,9 @@ def _lk_impl(h: int, w: int, max_shift: int) -> str:
     in-VMEM band build pays ~2x redundant halo work that XLA's streamed
     build amortises globally) and is explicit-opt-in only."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-    if not pallas_default_on():
+    if not (pallas_default_on() and is_validated("lk_gn")):
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
 

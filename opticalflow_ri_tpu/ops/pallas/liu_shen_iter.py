@@ -6,9 +6,11 @@ inverse update, and the global error reduction all happen on-chip, replacing
 the reference's twelve scipy convolutions + Numba update per iteration
 (ref: src/PhysicsBasedOpticalFlowLiuShen.py:142-150).
 
-State: 10 persistent fields + temporaries; a 512x512 problem is ~12 MB, so
-whole-image residency fits one core's VMEM.  Like the HS kernel this is an
-optional fast path (models/liu_shen.py keeps the XLA while_loop default).
+State: 14 persistent fields + temporaries; a 512x512 problem is ~14.7 MB of
+state, well inside a v5e core's 128 MB VMEM (hardware-proven at 512^2 —
+stage ls_whole_pallas_512 in scripts/pallas_ab_results.json).  Dispatch
+lives in models/liu_shen.py; beyond the residency cap the XLA while_loop
+(or the validated tiled kernel) takes over.
 """
 
 from __future__ import annotations
@@ -128,10 +130,19 @@ def liu_shen_iterate_pallas(h_reg, fields, u0, v0, max_iter: int = 60,
     return u, v, err[0, 0]
 
 
+# Whole-state residency cap.  14 persistent f32 fields; hardware-proven at
+# 512^2 (state 14.7 MB, stage ls_whole_pallas_512 in
+# scripts/pallas_ab_results.json: compiles, bit-identical, ~parity with XLA).
+# Round 2's 12 MB cap excluded 512^2 and pushed the flagship size onto an
+# unproven tiled kernel (VERDICT.md round 2) — raise this only together with
+# a larger-shape A/B entry.
+_STATE_CAP_BYTES = 16 * 1024 * 1024
+
+
 def ls_supports_pallas(shape) -> bool:
     h, w = shape[-2], shape[-1]
     state_bytes = 14 * h * w * 4
     return (
         len(shape) == 2 and h % 8 == 0 and w % 128 == 0
-        and state_bytes <= 12 * 1024 * 1024
+        and state_bytes <= _STATE_CAP_BYTES
     )

@@ -217,7 +217,7 @@ def _lk_fused_kernel(jslab_ref, g_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
             # leading stack dim via broadcasting (a [None, ...] index mixes
             # newaxis with slices and lowers to an unsupported Mosaic gather)
             prod = jrows[:, sx : sx + w + ext] * g
-            t = wsum2d(prod, runs_y, runs_x, hw, band, w)
+            t = wsum2d(prod, runs_y, runs_x, hw, band, w, hierarchical=True)
             t_scr[0, sy * nshift + sx] = t[0]
             t_scr[1, sy * nshift + sx] = t[1]
 

@@ -31,6 +31,15 @@ reference's stopping point by at most T-1 iterations — each of which moves
 the solution by less than the already-met tolerance.  Parity with the XLA
 path is exact for tol=0 (fixed trip count); the dispatch default only uses
 this path for shapes the whole-state kernel cannot hold.
+
+Error plumbing: the kernel outputs BOTH the last state (u_T, v_T) and the
+second-to-last (u_{T-1}, v_{T-1}) through the standard blocked-VMEM output
+pipeline — the exact output pattern hs_tiled.py proved on hardware — and the
+caller reduces the reference error metric ||u_T - u_{T-1}||_F in one XLA
+pass.  (The first cut wrote per-stripe error partials through a blocked
+(1, 2) SMEM output spec, which Mosaic refuses to lower — block dims must
+divide the native tile or equal the array dims — so every LiuSE config
+crashed on hardware; see VERDICT.md round 2.)
 """
 
 from __future__ import annotations
@@ -45,8 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_T_BLOCK = 20
 
-# 10 DMA slabs + u/v carries + ~6 stencil temporaries, all (BH+2T, W)
-_N_FIELDS_RESIDENT = 18
+# 10 DMA slabs + u/v/u_prev/v_prev carries + ~6 stencil temporaries, (BH+2T, W)
+_N_FIELDS_RESIDENT = 20
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
@@ -77,7 +86,7 @@ def ls_tiled_supports_pallas(shape, t_block: int = DEFAULT_T_BLOCK) -> bool:
 def _ls_tiled_kernel(h_ref,
                      iix_hbm, iiy_hbm, ii_hbm, ixt_hbm, iyt_hbm,
                      b11_hbm, b12_hbm, b22_hbm, u_hbm, v_hbm,
-                     u_out, v_out, err_out,
+                     u_out, v_out, up_out, vp_out,
                      iix_b, iiy_b, ii_b, ixt_b, iyt_b,
                      b11_b, b12_b, b22_b, u_b, v_b, sems,
                      *, t_iters: int, bh: int, w: int, pad: int,
@@ -174,19 +183,17 @@ def _ls_tiled_kernel(h_ref,
               + hreg * ring_zero(v) + iyt)
         u_new = -(b11 * bu + b12 * bv)
         v_new = -(b12 * bu + b22 * bv)
-        # last-iteration squared-diff partials over image rows only; the
-        # output region [pad, pad+bh) is always in-image
-        du2_sum = jnp.sum(((u_new - u)[pad : pad + bh, :]) ** 2)
-        dv2_sum = jnp.sum(((v_new - v)[pad : pad + bh, :]) ** 2)
-        return (u_new, v_new, du2_sum, dv2_sum)
+        # carry the pre-update state too: the caller's error metric needs
+        # (u_T - u_{T-1}) and scalar outputs do not lower (module doc)
+        return (u_new, v_new, u, v)
 
-    u, v, du2_sum, dv2_sum = lax.fori_loop(
-        0, t_iters, body, (u_b[:], v_b[:], jnp.float32(0.0), jnp.float32(0.0))
+    u, v, u_prev, v_prev = lax.fori_loop(
+        0, t_iters, body, (u_b[:], v_b[:], u_b[:], v_b[:])
     )
     u_out[:] = u[pad : pad + bh, :]
     v_out[:] = v[pad : pad + bh, :]
-    err_out[0, 0] = du2_sum
-    err_out[0, 1] = dv2_sum
+    up_out[:] = u_prev[pad : pad + bh, :]
+    vp_out[:] = v_prev[pad : pad + bh, :]
 
 
 def _launch(h_arr, fields_p, up, vp, t_iters: int, bh: int, pad: int,
@@ -204,22 +211,17 @@ def _launch(h_arr, fields_p, up, vp, t_iters: int, bh: int, pad: int,
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
             flops=int(t_iters) * 60 * hp * w,
-            bytes_accessed=12 * hp * w * 4,
+            bytes_accessed=14 * hp * w * 4,
             transcendentals=0,
         )
+    field = lambda: jax.ShapeDtypeStruct((img_h, w), jnp.float32)
     return pl.pallas_call(
         partial(_ls_tiled_kernel, t_iters=t_iters, bh=bh, w=w, pad=pad,
                 n_stripes=n_stripes, img_h=img_h),
         grid=(n_stripes,),
-        out_shape=(
-            jax.ShapeDtypeStruct((img_h, w), jnp.float32),
-            jax.ShapeDtypeStruct((img_h, w), jnp.float32),
-            jax.ShapeDtypeStruct((n_stripes, 2), jnp.float32),
-        ),
+        out_shape=(field(), field(), field(), field()),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + [hbm] * 10,
-        out_specs=(out_spec, out_spec,
-                   pl.BlockSpec((1, 2), lambda i: (i, 0),
-                                memory_space=pltpu.SMEM)),
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[buf() for _ in range(10)] + [pltpu.SemaphoreType.DMA((10,))],
         interpret=interpret,
         **kwargs,
@@ -254,9 +256,13 @@ def liu_shen_iterate_pallas_tiled(h_reg, fields, u0, v0, max_iter: int = 60,
     fields_p = tuple(pad_y(f) for f in fields)
 
     def block(u, v, t):
-        u2, v2, parts = _launch(h_arr, fields_p, pad_y(u), pad_y(v), t, bh,
-                                t_block, interpret)
-        err = (jnp.sqrt(jnp.sum(parts[:, 0])) + jnp.sqrt(jnp.sum(parts[:, 1]))) / npix
+        u2, v2, u2p, v2p = _launch(h_arr, fields_p, pad_y(u), pad_y(v), t, bh,
+                                   t_block, interpret)
+        # reference error metric of the block's last iteration (ref:
+        # src/PhysicsBasedOpticalFlowLiuShen.py:75-80): Frobenius norms of the
+        # last update, reduced globally in one fused XLA pass
+        err = (jnp.sqrt(jnp.sum((u2 - u2p) ** 2))
+               + jnp.sqrt(jnp.sum((v2 - v2p) ** 2))) / npix
         return u2, v2, err
 
     u = u0.astype(jnp.float32)

@@ -1,0 +1,39 @@
+"""Hardware-validated Pallas kernel registry.
+
+CLAUDE.md's rule — "keep new Pallas kernels env-gated until proven on
+hardware" — encoded in code after round 2 shipped an unproven kernel
+default-ON and crashed half the bench grid (VERDICT.md round 2): a kernel
+may appear in a DEFAULT dispatch path only when it is listed here, and each
+listing names the hardware A/B stages in ``scripts/pallas_ab_results.json``
+that prove it (a ``*_compiled`` parity stage + a timed stage).
+``tests/test_pallas_kernels.py::test_validated_registry_matches_ab_artifact``
+cross-checks every entry against the committed artifact, so a listing cannot
+outlive (or precede) its measurement.
+
+An unlisted kernel stays reachable via explicit ``impl=`` or the
+measurement scripts — it just never dispatches by default.
+"""
+
+from __future__ import annotations
+
+# kernel name -> (parity stage, timing stage) in scripts/pallas_ab_results.json
+VALIDATED_KERNELS = {
+    # Farneback updateMatrices tent-sample kernel (8.0x vs XLA @512^2)
+    "um": ("um_pallas_compiled", "um_pallas"),
+    # Farneback fused blur5+updateFlow kernel (1.44x)
+    "blur5": ("blur5_pallas_compiled", "blur5_pallas"),
+    # dense-LK banded Gauss-Newton kernel (2.27x)
+    "lk_gn": ("lk_pallas_compiled", "lk_pallas"),
+    # Horn-Schunck whole-solve VMEM-resident kernel (2.56x @512^2)
+    "hs_whole": ("hs_whole_pallas_compiled", "hs_whole_pallas_512"),
+    # Horn-Schunck temporal-blocked tiled kernel (4.45x @2048^2)
+    "hs_tiled": ("hs_tiled_2048_compiled", "hs_tiled_2048"),
+    # Liu-Shen whole-solve VMEM-resident kernel (bit-identical, ~parity
+    # @512^2 — stays ON for guaranteed VMEM residency)
+    "ls_whole": ("ls_whole_pallas_compiled", "ls_whole_pallas_512"),
+}
+
+
+def is_validated(kernel: str) -> bool:
+    """True when ``kernel`` has committed hardware A/B evidence."""
+    return kernel in VALIDATED_KERNELS

@@ -2,12 +2,16 @@
 
 The LK window weights are 0/1 masks over the 32-sample grid
 (ref: src/pyrlkDenseLargeW.cl:321-374); a masked window sum decomposes into
-maximal runs of ones, and each run of length L into ~2*sqrt(L) static
-slice-adds (a base box of width a ~= sqrt(L) reused by b = L // a strided
-slices plus remainder taps).  On TPU this beats both cumsum differences
-(log2(n) full-array passes) and direct L-tap sums; XLA fuses the slice-adds
-into a single VPU pass, and the same code traces inside Pallas kernels
-(static slices of VMEM-resident values).
+maximal runs of ones.  Two decompositions, selected per call site:
+
+  * direct — the plain L-tap slice sum.  XLA fuses it into ONE kernel per
+    axis with zero materialised intermediates; since the LK shift-plane
+    build is HBM-bound on intermediates (not VPU-bound on adds), this is
+    the fast form for the XLA build.
+  * hierarchical — each run of length L into ~2*sqrt(L) static slice-adds
+    (a base box of width a ~= sqrt(L) reused by b = L // a strided slices
+    plus remainder taps).  Preferred inside Pallas kernels, where every
+    lane-offset slice lowers to a VPU rotate and op count dominates.
 
 Shared by the XLA shift-plane build (models/lucas_kanade.py) and the fused
 Pallas LK kernel (ops/pallas/lk_iter.py) so both paths keep the exact same
@@ -33,14 +37,22 @@ def runs_from_mask(mask: np.ndarray):
     return tuple(runs)
 
 
-def windowed_sum_axis(x, runs, half_window, axis, out_len):
+def windowed_sum_axis(x, runs, half_window, axis, out_len, hierarchical=False):
     """sum_k mask[k] * x[p + k - half_window] along ``axis``.  ``x`` covers
-    positions [-hw, out_len-1+GRID-1-hw] relative to the output origin."""
+    positions [-hw, out_len-1+GRID-1-hw] relative to the output origin.
+
+    ``hierarchical=False`` (default) emits the direct L-tap slice sum: one
+    fused XLA kernel per axis with no materialised base array — on TPU the
+    build is HBM-bound on intermediates, not VPU-bound on adds, so fewer
+    materialisations beat fewer adds.  ``hierarchical=True`` keeps the
+    ~2*sqrt(L) two-level decomposition (base box + strided reuse), which is
+    preferred inside Pallas kernels where lane-offset slices lower to VPU
+    rotates and op count dominates."""
     size = x.shape[axis]
     out = None
     for lo, hi in runs:
         L = hi - lo + 1
-        a = max(1, int(round(L ** 0.5)))
+        a = max(1, int(round(L ** 0.5))) if hierarchical else 1
         b = L // a
         if a == 1:
             base = x
@@ -61,8 +73,8 @@ def windowed_sum_axis(x, runs, half_window, axis, out_len):
     return out
 
 
-def wsum2d(x, runs_y, runs_x, hw, out_h, out_w):
+def wsum2d(x, runs_y, runs_x, hw, out_h, out_w, hierarchical=False):
     """Separable masked window sum of ``x`` (covering the padded off-domain)
     down to the (out_h, out_w) pixel grid (x-axis pass first)."""
-    t = windowed_sum_axis(x, runs_x, hw, x.ndim - 1, out_w)
-    return windowed_sum_axis(t, runs_y, hw, x.ndim - 2, out_h)
+    t = windowed_sum_axis(x, runs_x, hw, x.ndim - 1, out_w, hierarchical)
+    return windowed_sum_axis(t, runs_y, hw, x.ndim - 2, out_h, hierarchical)

@@ -1,7 +1,16 @@
 #!/usr/bin/env python3
-"""Fresh-process e2e marginal timing for the Pallas-affected configs.
+"""Full-grid TPU e2e gate: run EVERY registered config on hardware.
 
-    PALLAS_AXON_REMOTE_COMPILE=1 timeout 1800 python3 scripts/e2e_check.py
+The snapshot ritual (VERDICT.md round 2, directive 2): before a round ends,
+all 19 registered configs — the 11-config bench grid plus the 9 example
+configs (they overlap) — must execute on the real TPU with the default
+(Pallas-enabled) dispatch.  Round 2 shipped with only 4 configs e2e-checked
+and an unproven kernel crashed the other half of the grid.
+
+    PALLAS_AXON_REMOTE_COMPILE=1 timeout 3600 python3 scripts/e2e_check.py \
+        2>&1 | tee scripts/e2e_check.log
+
+Exits non-zero if ANY config fails.  Pass config names as argv to subset.
 """
 
 import json
@@ -42,10 +51,14 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ofri_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    t0 = time.perf_counter()
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "claim_s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     from opticalflow_ri_tpu.utils.io import load_image
     from opticalflow_ri_tpu.compile import compiled_pipeline
+    from opticalflow_ri_tpu.configs import CONFIGS
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
     print(json.dumps({"pallas_default_on": pallas_default_on()}), flush=True)
@@ -54,18 +67,28 @@ def main():
     d1 = jnp.asarray(load_image(p % 0))
     d2 = jnp.asarray(load_image(p % 1))
 
-    for cfg in sys.argv[1:] or ("denseLK_Fs2_0", "Farneback_Fs0_0",
-                                "LiuSE_denseLK_Fs2_0_PyrLvls2",
-                                "LiuSE_Farneback_Fs0_0_PyrLvls2"):
-        fn = compiled_pipeline(cfg)
-        m, t1 = marginal(fn, (d1, d2))
-        u, v = fn(d1, d2)
-        print(json.dumps({
-            "config": cfg, "marginal_ms": m * 1e3, "latency_s": t1,
-            "mpix_per_s": 512 * 512 / 1e6 / m,
-            "u_range": [float(jnp.min(u)), float(jnp.max(u))],
-            "v_range": [float(jnp.min(v)), float(jnp.max(v))],
-        }), flush=True)
+    names = sys.argv[1:] or sorted(CONFIGS)
+    failed = []
+    for cfg in names:
+        try:
+            fn = compiled_pipeline(cfg)
+            m, t1 = marginal(fn, (d1, d2))
+            u, v = fn(d1, d2)
+            print(json.dumps({
+                "config": cfg, "marginal_ms": round(m * 1e3, 3),
+                "latency_s": round(t1, 3),
+                "mpix_per_s": round(512 * 512 / 1e6 / m, 1),
+                "u_range": [float(jnp.min(u)), float(jnp.max(u))],
+                "v_range": [float(jnp.min(v)), float(jnp.max(v))],
+            }), flush=True)
+        except Exception as e:
+            failed.append(cfg)
+            print(json.dumps({"config": cfg, "error": repr(e)}), flush=True)
+
+    print(json.dumps({"summary": f"{len(names) - len(failed)}/{len(names)} ok",
+                      "failed": failed}), flush=True)
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

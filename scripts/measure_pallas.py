@@ -23,8 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-RESULTS = {}
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pallas_ab_results.json")
+
+# Merge into the existing artifact: re-running a subset of sections (--only)
+# must not erase previously-measured stages — the validated-kernel registry
+# test keys on their presence.
+RESULTS = {}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        RESULTS = json.load(f)
+RESULTS.pop("done", None)
+
+# Section selection: `--only ls_tiled,hs_tiled` runs just those sections.
+_ONLY = None
+if "--only" in sys.argv:
+    _ONLY = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+
+def want(section: str) -> bool:
+    return _ONLY is None or section in _ONLY
 
 
 def emit(stage, **kw):
@@ -60,7 +77,7 @@ def marginal(fn, args, chain=16, repeats=5):
     # Same estimator as bench.py:time_config — min over repeats (pool noise is
     # strictly additive) + two-chain differencing (t_2K - t_K)/K to cancel the
     # tunnel's fixed sync latency and its jitter.  When jitter still swamps
-    # the signal (difference below 1/4 of one sync-free amortized pair), fall
+    # the signal (difference below 5% of one sync-free amortized pair), fall
     # back to the amortized per-pair upper bound t_2K/2K — a chain=8/repeats=3
     # variant with a bare 1e-9 clamp once recorded a 600x phantom speedup.
     t1 = float(min(run_k(1) for _ in range(repeats)))
@@ -120,115 +137,120 @@ def main():
     r0, r1, fx, fy = _jax.block_until_ready((r0, r1, fx, fy))
 
     um_xla = _jax.jit(lambda a, b, c, d: update_matrices(a, b, c, d, 6))
-    signal.alarm(600)
-    m_x, t1 = marginal(um_xla, (fx, fy, r0, r1))
-    emit("um_xla", marginal_ms=m_x * 1e3, latency_s=t1)
+    if want("um"):
+        signal.alarm(600)
+        m_x, t1 = marginal(um_xla, (fx, fy, r0, r1))
+        emit("um_xla", marginal_ms=m_x * 1e3, latency_s=t1)
 
-    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
-        update_matrices_pallas, update_matrices_supports_pallas,
-    )
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_pallas, update_matrices_supports_pallas,
+        )
 
-    assert update_matrices_supports_pallas(r0.shape, 6)
-    signal.alarm(2400)  # first Mosaic compile can take ~15 min
-    mx = update_matrices_pallas(fx, fy, r0, r1, 6)
-    mref = um_xla(fx, fy, r0, r1)
-    diff = float(jnp.max(jnp.abs(mx - mref)))
-    scale = float(jnp.max(jnp.abs(mref)))
-    emit("um_pallas_compiled", max_abs_diff=diff, ref_scale=scale)
-    signal.alarm(600)
-    m_p, t1p = marginal(update_matrices_pallas, (fx, fy, r0, r1, 6))
-    emit("um_pallas", marginal_ms=m_p * 1e3, latency_s=t1p,
-         speedup_vs_xla=m_x / m_p)
+        assert update_matrices_supports_pallas(r0.shape, 6)
+        signal.alarm(2400)  # first Mosaic compile can take ~15 min
+        mx = update_matrices_pallas(fx, fy, r0, r1, 6)
+        mref = um_xla(fx, fy, r0, r1)
+        diff = float(jnp.max(jnp.abs(mx - mref)))
+        scale = float(jnp.max(jnp.abs(mref)))
+        emit("um_pallas_compiled", max_abs_diff=diff, ref_scale=scale)
+        signal.alarm(600)
+        m_p, t1p = marginal(update_matrices_pallas, (fx, fy, r0, r1, 6))
+        emit("um_pallas", marginal_ms=m_p * 1e3, latency_s=t1p,
+             speedup_vs_xla=m_x / m_p)
 
     # ---------------- Farneback blur5 + updateFlow ----------------
-    m0 = _jax.block_until_ready(mref)
+    if want("blur5"):
+        m0 = _jax.block_until_ready(um_xla(fx, fy, r0, r1))
 
-    def bf_xla_g(m):
-        return update_flow(gaussian_blur5(m, 33, 33 / 2 * 0.3))
+        def bf_xla_g(m):
+            return update_flow(gaussian_blur5(m, 33, 33 / 2 * 0.3))
 
-    def bf_xla_b(m):
-        return update_flow(box_filter5(m, 16))
+        def bf_xla_b(m):
+            return update_flow(box_filter5(m, 16))
 
-    bfg = _jax.jit(bf_xla_g)
-    bfb = _jax.jit(bf_xla_b)
-    signal.alarm(600)
-    m_bg, _ = marginal(bfg, (m0,))
-    m_bb, _ = marginal(bfb, (m0,))
-    emit("blur5_xla", gaussian_marginal_ms=m_bg * 1e3, box_marginal_ms=m_bb * 1e3)
-
-    from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
-        blur5_flow_pallas, blur5_flow_supports_pallas,
-    )
-    from opticalflow_ri_tpu.models.farneback import _blur_kernel
-
-    kg = _blur_kernel(33, 33 / 2 * 0.3)
-    if blur5_flow_supports_pallas(m0.shape, len(kg)):
-        signal.alarm(2400)
-        fxp, fyp = blur5_flow_pallas(m0, tuple(float(x) for x in kg), "mirror", 1.0)
-        fxr, fyr = bfg(m0)
-        diff = float(jnp.max(jnp.abs(fxp - fxr))) + float(jnp.max(jnp.abs(fyp - fyr)))
-        emit("blur5_pallas_compiled", max_abs_diff=diff)
+        bfg = _jax.jit(bf_xla_g)
+        bfb = _jax.jit(bf_xla_b)
         signal.alarm(600)
-        m_pg, _ = marginal(
-            lambda m: blur5_flow_pallas(m, tuple(float(x) for x in kg), "mirror", 1.0),
-            (m0,),
+        m_bg, _ = marginal(bfg, (m0,))
+        m_bb, _ = marginal(bfb, (m0,))
+        emit("blur5_xla", gaussian_marginal_ms=m_bg * 1e3, box_marginal_ms=m_bb * 1e3)
+
+        from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+            blur5_flow_pallas, blur5_flow_supports_pallas,
         )
-        emit("blur5_pallas", gaussian_marginal_ms=m_pg * 1e3,
-             speedup_vs_xla=m_bg / m_pg)
-    else:
-        emit("blur5_pallas", skipped="unsupported shape")
+        from opticalflow_ri_tpu.models.farneback import _blur_kernel
+
+        kg = _blur_kernel(33, 33 / 2 * 0.3)
+        if blur5_flow_supports_pallas(m0.shape, len(kg)):
+            signal.alarm(2400)
+            fxp, fyp = blur5_flow_pallas(m0, tuple(float(x) for x in kg), "mirror", 1.0)
+            fxr, fyr = bfg(m0)
+            diff = float(jnp.max(jnp.abs(fxp - fxr))) + float(jnp.max(jnp.abs(fyp - fyr)))
+            emit("blur5_pallas_compiled", max_abs_diff=diff)
+            signal.alarm(600)
+            m_pg, _ = marginal(
+                lambda m: blur5_flow_pallas(m, tuple(float(x) for x in kg), "mirror", 1.0),
+                (m0,),
+            )
+            emit("blur5_pallas", gaussian_marginal_ms=m_pg * 1e3,
+                 speedup_vs_xla=m_bg / m_pg)
+        else:
+            emit("blur5_pallas", skipped="unsupported shape")
 
     # ---------------- LK Gauss-Newton ----------------
-    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+    if want("lk"):
+        from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
 
-    u0 = jnp.zeros((h, w), jnp.float32)
-    lk_x = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="xla")
-    lk_p = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="pallas")
-    signal.alarm(900)
-    m_lx, t1lx = marginal(lk_x, (im1, im2, u0, u0))
-    emit("lk_xla", marginal_ms=m_lx * 1e3, latency_s=t1lx)
-    signal.alarm(2400)
-    up, vp, sp = lk_p(im1, im2, u0, u0)
-    ur, vr, sr = lk_x(im1, im2, u0, u0)
-    diff = float(jnp.max(jnp.abs(up - ur))) + float(jnp.max(jnp.abs(vp - vr)))
-    emit("lk_pallas_compiled", max_abs_diff=diff)
-    signal.alarm(900)
-    m_lp, t1lp = marginal(lk_p, (im1, im2, u0, u0))
-    emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
-         speedup_vs_xla=m_lx / m_lp)
+        u0 = jnp.zeros((h, w), jnp.float32)
+        lk_x = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="xla")
+        lk_p = lambda a, b, c, d: lk_dense_solve(a, b, c, d, impl="pallas")
+        signal.alarm(900)
+        m_lx, t1lx = marginal(lk_x, (im1, im2, u0, u0))
+        emit("lk_xla", marginal_ms=m_lx * 1e3, latency_s=t1lx)
+        signal.alarm(2400)
+        up, vp, sp = lk_p(im1, im2, u0, u0)
+        ur, vr, sr = lk_x(im1, im2, u0, u0)
+        diff = float(jnp.max(jnp.abs(up - ur))) + float(jnp.max(jnp.abs(vp - vr)))
+        emit("lk_pallas_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_lp, t1lp = marginal(lk_p, (im1, im2, u0, u0))
+        emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
+             speedup_vs_xla=m_lx / m_lp)
 
     # ---------------- whole-solve HS / Liu-Shen kernels at 512^2 ------------
     from opticalflow_ri_tpu.models.horn_schunck import hs_solve
     from opticalflow_ri_tpu.models.liu_shen import liu_shen_solve
 
     z512 = jnp.zeros((h, w), jnp.float32)
-    hs_xla512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="xla")
-    hs_pal512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="pallas")
-    signal.alarm(2400)
-    m_hsx, _ = marginal(hs_xla512, (im1, im2))
-    emit("hs_whole_xla_512", marginal_ms=m_hsx * 1e3)
-    uw, vw, _ = hs_pal512(im1, im2)
-    ux, vx, _ = hs_xla512(im1, im2)
-    emit("hs_whole_pallas_compiled",
-         max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
-    signal.alarm(900)
-    m_hsp, _ = marginal(hs_pal512, (im1, im2))
-    emit("hs_whole_pallas_512", marginal_ms=m_hsp * 1e3,
-         speedup_vs_xla=m_hsx / m_hsp)
+    if want("hs_whole"):
+        hs_xla512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="xla")
+        hs_pal512 = lambda a, b: hs_solve(a, b, 1.0, 100, z512, z512, impl="pallas")
+        signal.alarm(2400)
+        m_hsx, _ = marginal(hs_xla512, (im1, im2))
+        emit("hs_whole_xla_512", marginal_ms=m_hsx * 1e3)
+        uw, vw, _ = hs_pal512(im1, im2)
+        ux, vx, _ = hs_xla512(im1, im2)
+        emit("hs_whole_pallas_compiled",
+             max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
+        signal.alarm(900)
+        m_hsp, _ = marginal(hs_pal512, (im1, im2))
+        emit("hs_whole_pallas_512", marginal_ms=m_hsp * 1e3,
+             speedup_vs_xla=m_hsx / m_hsp)
 
-    ls_xla = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="xla")
-    ls_pal = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="pallas")
-    signal.alarm(2400)
-    m_lsx, _ = marginal(ls_xla, (im1, im2))
-    emit("ls_whole_xla_512", marginal_ms=m_lsx * 1e3)
-    uw, vw, _ = ls_pal(im1, im2)
-    ux, vx, _ = ls_xla(im1, im2)
-    emit("ls_whole_pallas_compiled",
-         max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
-    signal.alarm(900)
-    m_lsp, _ = marginal(ls_pal, (im1, im2))
-    emit("ls_whole_pallas_512", marginal_ms=m_lsp * 1e3,
-         speedup_vs_xla=m_lsx / m_lsp)
+    if want("ls_whole"):
+        ls_xla = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="xla")
+        ls_pal = lambda a, b: liu_shen_solve(a, b, 10.0, z512, z512, impl="pallas")
+        signal.alarm(2400)
+        m_lsx, _ = marginal(ls_xla, (im1, im2))
+        emit("ls_whole_xla_512", marginal_ms=m_lsx * 1e3)
+        uw, vw, _ = ls_pal(im1, im2)
+        ux, vx, _ = ls_xla(im1, im2)
+        emit("ls_whole_pallas_compiled",
+             max_abs_diff=float(jnp.max(jnp.abs(uw - ux)) + jnp.max(jnp.abs(vw - vx))))
+        signal.alarm(900)
+        m_lsp, _ = marginal(ls_pal, (im1, im2))
+        emit("ls_whole_pallas_512", marginal_ms=m_lsp * 1e3,
+             speedup_vs_xla=m_lsx / m_lsp)
 
     # ---------------- HS temporal-blocked tiled kernel (large images) -------
     from opticalflow_ri_tpu.models.horn_schunck import hs_solve
@@ -238,7 +260,7 @@ def main():
     )
     from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
 
-    for side in (1024, 2048):
+    for side in (1024, 2048) if want("hs_tiled") else ():
         s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
         s1 = jnp.asarray(s1)
         s2 = jnp.asarray(s2)
@@ -272,7 +294,7 @@ def main():
         liu_shen_iterate_pallas_tiled, ls_tiled_supports_pallas,
     )
 
-    for side in (1024, 2048):
+    for side in (1024, 2048) if want("ls_tiled") else ():
         s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
         s1 = jnp.asarray(s1, jnp.float32)
         s2 = jnp.asarray(s2, jnp.float32)

@@ -57,3 +57,37 @@ def aee(u, v, u_ref, v_ref):
     return float(
         np.mean(np.hypot(np.asarray(u) - u_ref, np.asarray(v) - v_ref))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quick tier: `pytest -m quick` runs one fast representative test per
+# component (<90 s total) for the edit-test loop; the full suite (~8 min)
+# remains the pre-commit gate.  Centralised here so the tier is one list.
+# ---------------------------------------------------------------------------
+
+QUICK_TIER = {
+    "tests/test_pyramid.py::test_hs_two_levels",                      # driver
+    "tests/test_configs.py::test_example_configs_run[PyHSchunck_Fs3_4]",  # registry
+    "tests/test_horn_schunck.py::test_hs_matches_oracle",             # C7
+    "tests/test_liu_shen.py::test_liu_shen_matches_oracle",           # C8
+    "tests/test_lucas_kanade.py::test_lk_matches_oracle_zero_init",   # C9/C10
+    "tests/test_farneback.py::test_update_matrices_and_flow_match_oracle",  # C11/C12
+    "tests/test_gaussian.py::test_filter_matches_oracle",             # C5
+    "tests/test_gaussian.py::test_bit_exact_kernels",                 # C6
+    "tests/test_stencil.py::test_correlate3x3_matches_ndimage_modes",  # L0 stencil
+    "tests/test_resize.py::test_bicubic_downscale_matches_pil",       # L0 resize
+    "tests/test_warp.py::test_rounded_bilinear_warp_matches_oracle",  # L0 warp
+    "tests/test_pallas_kernels.py::test_liu_shen_pallas_kernel_matches_xla_interpret",  # L1
+    "tests/test_pallas_kernels.py::test_validated_registry_matches_ab_artifact",  # L1 policy
+    "tests/test_sharding.py::test_liu_shen_sharded_matches_single_device",  # parallel
+    "tests/test_batch_runner.py::test_resume_skips_done",             # harness
+    "tests/test_golden.py::test_hs_golden",                           # regression
+    "tests/test_examples.py::test_every_example_config_has_a_script",  # examples
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if nodeid in QUICK_TIER:
+            item.add_marker(pytest.mark.quick)

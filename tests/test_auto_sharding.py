@@ -46,3 +46,21 @@ def test_auto_sharded_batched(piv_pair_medium):
     u, v = fn(b1, b2)
     u1, v1 = compiled_pipeline("PyHSchunck_Fs3_4")(jnp.asarray(im1), jnp.asarray(im2))
     assert aee(np.asarray(u)[0], np.asarray(v)[0], np.asarray(u1), np.asarray(v1)) < 1e-4
+
+
+@needs_devices
+@pytest.mark.parametrize(
+    "name", ["PyHSchunck_Fs3_4_PyrLvls2", "LiuSE_PyHSchunck_Fs3_4_PyrLvls2"]
+)
+def test_auto_sharded_two_level_pyramid(name, piv_pair_medium):
+    """2-level pyramidal configs under GSPMD: exercises the sharded-to-
+    replicated transitions at pyramid-level boundaries — PIL-coefficient
+    resize, spline upsample of the flow, symmetric warping, per-level
+    prefilter (ref: src/GenericPyramidalOpticalFlow.py:118-235)."""
+    im1, im2, _, _ = piv_pair_medium
+    mesh = make_mesh(8)
+
+    u1, v1 = compiled_pipeline(name)(jnp.asarray(im1), jnp.asarray(im2))
+    fn = auto_sharded_pipeline(name, mesh)
+    u8, v8 = fn(jnp.asarray(im1), jnp.asarray(im2))
+    assert aee(u8, v8, np.asarray(u1), np.asarray(v1)) < 1e-4

@@ -413,3 +413,126 @@ def test_ls_tiled_pallas_matches_xla_interpret():
     assert ls_tiled_supports_pallas((2048, 2048))
     assert not ls_tiled_supports_pallas((100, 130))
     assert ls_stripe_height(2048, 2048, 20) >= 20
+
+
+def test_ls_tiled_tol_hit_mid_block_overruns_at_most_t_minus_1():
+    """Convergence semantics at a tolerance boundary: the tiled path checks
+    the error once per T-iteration block, so when the reference's per-
+    iteration check (ref: src/PhysicsBasedOpticalFlowLiuShen.py:88-89,:141)
+    would stop at iteration k, the tiled path stops at the next block
+    boundary ceil(k/T)*T — an overrun of at most T-1 iterations — and its
+    output must equal the XLA path run for exactly that many iterations."""
+    from opticalflow_ri_tpu.models.liu_shen import (
+        liu_shen_iteration, liu_shen_precompute, liu_shen_solve,
+    )
+    from opticalflow_ri_tpu.ops.pallas.ls_tiled import (
+        liu_shen_iterate_pallas_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w, t = 64, 128, 8
+    a = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+    z = jnp.zeros((h, w), jnp.float32)
+    an = a / jnp.max(a)
+    bn = b / jnp.max(b)
+    fields = liu_shen_precompute(an, bn, 10.0)
+    npix = float(h * w)
+
+    # find the reference stopping iteration k for a tolerance that hits
+    # mid-block (not a multiple of t)
+    u, v = z, z
+    errs = []
+    for _ in range(40):
+        u_new, v_new = liu_shen_iteration(u, v, fields, 10.0)
+        errs.append(
+            float(
+                (jnp.linalg.norm(u_new - u) + jnp.linalg.norm(v_new - v)) / npix
+            )
+        )
+        u, v = u_new, v_new
+    # pick tol between errs[k-1] and errs[k] with k%t != 0 so the reference
+    # would stop after k iterations, strictly inside a block
+    k = 11
+    assert k % t != 0
+    tol = (errs[k - 1] + errs[k]) / 2.0
+    assert errs[k] <= tol < errs[k - 1]
+
+    ut, vt, et = liu_shen_iterate_pallas_tiled(
+        10.0, fields, z, z, max_iter=40, tol=tol, t_block=t, bh=16,
+        interpret=True)
+
+    k_tiled = -(-k // t) * t  # next block boundary: overrun <= t-1
+    ux, vx, ex = liu_shen_solve(a, b, 10.0, z, z, max_iter=k_tiled, tol=0.0,
+                                impl="xla")
+    np.testing.assert_allclose(np.asarray(ut), np.asarray(ux),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(vx),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(et), errs[k_tiled - 1], rtol=1e-3)
+    # and the error it stopped at meets the tolerance
+    assert float(et) <= tol
+
+
+def test_validated_registry_matches_ab_artifact():
+    """The no-unproven-kernel-default-ON rule, as a test: every kernel the
+    default dispatch can select must have committed hardware A/B evidence —
+    a compile-parity stage and a timed stage in scripts/pallas_ab_results.json
+    (round 2 shipped an unmeasured kernel default-ON and crashed 5/10 bench
+    configs on the TPU; see VERDICT.md)."""
+    import json
+    import os
+
+    from opticalflow_ri_tpu.ops.pallas.validated import VALIDATED_KERNELS
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "scripts", "pallas_ab_results.json")
+    with open(path) as f:
+        ab = json.load(f)
+
+    for kernel, (parity_stage, timed_stage) in VALIDATED_KERNELS.items():
+        assert parity_stage in ab, f"{kernel}: no parity stage {parity_stage}"
+        assert "max_abs_diff" in ab[parity_stage], (
+            f"{kernel}: {parity_stage} has no hardware parity diff")
+        assert ab[parity_stage]["max_abs_diff"] <= 1e-3, (
+            f"{kernel}: hardware parity diff too large")
+        assert timed_stage in ab, f"{kernel}: no timed stage {timed_stage}"
+        timed = ab[timed_stage]
+        assert any(k.endswith("marginal_ms") for k in timed), (
+            f"{kernel}: {timed_stage} has no marginal timing")
+        assert "skipped" not in timed, f"{kernel}: timed stage was skipped"
+
+
+def test_default_dispatch_paths_all_validated(monkeypatch):
+    """Force the dispatch policy ON and enumerate every impl the default
+    ("auto") paths can return across representative shapes; each Pallas impl
+    must map to a validated-registry entry."""
+    import opticalflow_ri_tpu.ops.pallas as pp
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    monkeypatch.setattr(pp, "pallas_default_on", lambda: True)
+
+    from opticalflow_ri_tpu.models.horn_schunck import _pick_impl
+    from opticalflow_ri_tpu.models.liu_shen import _ls_impl
+    from opticalflow_ri_tpu.models.lucas_kanade import _lk_impl
+    from opticalflow_ri_tpu.models.farneback import _um_impl
+
+    impl_to_kernel = {
+        ("hs", "pallas"): "hs_whole", ("hs", "pallas_tiled"): "hs_tiled",
+        ("ls", "pallas"): "ls_whole", ("ls", "pallas_tiled"): "ls_tiled",
+        ("lk", "pallas"): "lk_gn", ("um", "pallas"): "um",
+    }
+    shapes = [(256, 256), (512, 512), (1024, 1024), (2048, 2048), (500, 700)]
+    for shape in shapes:
+        for fam, impl in [
+            ("hs", _pick_impl(shape)),
+            ("ls", _ls_impl(shape)),
+            ("lk", _lk_impl(shape[0], shape[1], 6)),
+            ("um", _um_impl((5,) + shape)),
+        ]:
+            if impl == "xla":
+                continue
+            kernel = impl_to_kernel[(fam, impl)]
+            assert is_validated(kernel), (
+                f"default dispatch for {fam}@{shape} selects unproven "
+                f"kernel {kernel}")
