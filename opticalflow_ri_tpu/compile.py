@@ -12,8 +12,9 @@ time, exactly like the reference resolves it at run time.
     fn = compiled_pipeline("PyHSchunck_Fs3_4")
     U, V = fn(im1, im2)                      # one XLA execution
 
-Batched throughput uses ``batched_pipeline`` (vmap over image pairs — the
-data-parallel axis that keeps the VPU fed at PIV image sizes).
+Batched throughput uses ``scan_pipeline`` (one dispatch, pairs processed
+sequentially on device with the single-pair working set); the vmapped
+``batched_pipeline`` is deprecated — see its docstring.
 """
 
 from __future__ import annotations
@@ -46,15 +47,25 @@ def compiled_pipeline(name: str):
 
 @lru_cache(maxsize=None)
 def batched_pipeline(name: str):
-    """Jitted vmapped pipeline over a leading batch axis of image pairs.
+    """DEPRECATED: jitted vmapped pipeline over a leading batch axis.
 
-    vmap multiplies the working set by the batch size (VMEM spill risk at
-    large batches); prefer ``scan_pipeline`` for throughput streaming.
+    Measured 4.7x slower than ``scan_pipeline`` on a v5e at 512^2 (22.7 vs
+    106.4 Mpix/s, bench_details.json): vmap multiplies the working set by the
+    batch size, spilling VMEM, while scan keeps the single-pair working set
+    and the same one-dispatch amortisation.  Kept for API compatibility;
+    use ``scan_pipeline`` for throughput streaming.
 
     Dispatches solvers to their XLA paths: vmapping a whole-solve Pallas
     kernel batches its grid — an unproven variant whose working set breaks
     the kernel's VMEM-residency premise — whereas scan keeps the single-pair
     kernels exactly as validated (see scan_pipeline)."""
+    import warnings
+
+    warnings.warn(
+        "batched_pipeline (vmap) is deprecated: it measures ~4.7x slower "
+        "than scan_pipeline on TPU at 512^2; use scan_pipeline",
+        DeprecationWarning, stacklevel=2,
+    )
     fn = jax.vmap(pipeline_fn(name))
 
     def batched(im1s, im2s):
