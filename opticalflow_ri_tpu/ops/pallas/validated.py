@@ -31,6 +31,10 @@ VALIDATED_KERNELS = {
     # Liu-Shen whole-solve VMEM-resident kernel (bit-identical, ~parity
     # @512^2 — stays ON for guaranteed VMEM residency)
     "ls_whole": ("ls_whole_pallas_compiled", "ls_whole_pallas_512"),
+    # Liu-Shen temporal-blocked tiled kernel (bit-identical, 1.61x @1024^2,
+    # 3.83x @2048^2 — the round-2 SMEM-output lowering failure repaired and
+    # hardware-proven)
+    "ls_tiled": ("ls_tiled_2048_compiled", "ls_tiled_2048"),
 }
 
 
