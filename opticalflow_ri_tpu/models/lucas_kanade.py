@@ -36,9 +36,11 @@ against the CL semantics):
   * the x32.0f delta scale (ref: .cl:604).
 
 Divergence (documented): integer shifts are clamped to [-R, R-1]
-(max_shift=R, default 6); pixels whose |flow| exceeds R px mid-iteration — far
+(max_shift=R, default 5); pixels whose |flow| exceeds R px mid-iteration — far
 beyond this library's <=4 px calibrated regime — would sample slightly
-differently from the reference.
+differently from the reference.  R=5 matches the exact (R=12) solver to
+3e-5 px max on the bundled PIV pair (scripts/lk_breakdown notes) while
+cutting the (2R+1)^2 shift-plane build by 28% vs the former R=6 default.
 """
 
 from __future__ import annotations
@@ -73,6 +75,43 @@ def _lk_impl(h: int, w: int, max_shift: int) -> str:
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
 
     return "pallas" if lk_gn_supports_pallas(h, w, max_shift) else "xla"
+
+
+def lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
+                    hierarchical: bool = False):
+    """Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, built by
+    a lax.scan over the 2R+1 ROW shifts with the 2R+1 column shifts unrolled
+    in the body: the body compiles once instead of (2R+1)^2 inlined copies
+    (fully unrolled cost ~40 s of cold compile at 512^2 -> ~2 s; build
+    runtime identical at 3.3 ms either way, /tmp round-2 hardware A/B).
+    The body emits the two gradient stacks separately so each scan output
+    is already the shift-major (nshift^2, H, W) layout the Pallas GN kernel
+    consumes — zero post-hoc transposes.  Identical summation order.
+
+    ``slab`` is the replicate-padded J image covering rows/cols
+    [-(hw+R), {h,w}-1 + (GRID-1-hw) + R]; ``g_pair`` the (2, core_h, core_w)
+    gradient stack over window offsets [-hw, GRID-1-hw]."""
+    nshift = 2 * R + 1
+    core_h = h + _GRID - 1
+    core_w = w + _GRID - 1
+
+    def build_row(_, sy):
+        rowslab = lax.dynamic_slice(slab, (sy, 0), (core_h, core_w + 2 * R))
+        # one window-sum pass per shift covers both gradient stacks
+        planes = [
+            _wsum2d(rowslab[:, sx : sx + core_w][None] * g_pair,
+                    runs_y, runs_x, hw, h, w, hierarchical)
+            for sx in range(nshift)
+        ]
+        st = jnp.stack(planes)  # (nshift, 2, H, W)
+        return None, (st[:, 0], st[:, 1])
+
+    _, (t1s, t2s) = lax.scan(
+        build_row, None, jnp.arange(nshift, dtype=jnp.int32)
+    )
+    t1s = t1s.reshape(nshift * nshift, h, w)  # sy-major, sx-minor
+    t2s = t2s.reshape(nshift * nshift, h, w)
+    return t1s, t2s
 
 
 def _lk_error_map(ipad, jpad, px, py, ok, hw, win, wgt, pad, h, w):
@@ -129,7 +168,7 @@ def _lk_error_map(ipad, jpad, px, py, ok, hw, win, wgt, pad, h, w):
 @partial(jax.jit, static_argnames=("half_window", "n_iter", "asym", "max_shift",
                                    "impl", "calc_err"))
 def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
-                   asym=(0, 0, 0, 0), max_shift: int = 6, impl: str = "auto",
+                   asym=(0, 0, 0, 0), max_shift: int = 5, impl: str = "auto",
                    calc_err: bool = False):
     """Dense LK over a full image; returns (u, v, status) — or
     (u, v, status, err) with ``calc_err=True`` (the reference kernel's
@@ -216,33 +255,15 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
         return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
                           hw, win, wx, wy, pad, h, w, calc_err)
 
-    # Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, built by
-    # a lax.scan over the 2R+1 ROW shifts with the 2R+1 column shifts unrolled
-    # in the body: the body compiles once instead of (2R+1)^2 inlined copies
-    # (fully unrolled cost ~40 s of cold compile at 512^2 -> ~2 s; build
-    # runtime identical at 3.3 ms either way, /tmp round-2 hardware A/B).
-    # The body emits the two gradient stacks separately so each scan output
-    # is already the shift-major (nshift^2, H, W) layout the Pallas GN kernel
-    # consumes — zero post-hoc transposes.  Identical summation order.
     slab = lax.dynamic_slice(
         jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
     )
-
-    def build_row(_, sy):
-        rowslab = lax.dynamic_slice(slab, (sy, 0), (core_h, core_w + 2 * R))
-        # one window-sum pass per shift covers both gradient stacks
-        planes = [
-            wsum(rowslab[:, sx : sx + core_w][None] * g_pair)
-            for sx in range(nshift)
-        ]
-        st = jnp.stack(planes)  # (nshift, 2, H, W)
-        return None, (st[:, 0], st[:, 1])
-
-    _, (t1s, t2s) = lax.scan(
-        build_row, None, jnp.arange(nshift, dtype=jnp.int32)
-    )
-    t1s = t1s.reshape(nshift * nshift, h, w)  # sy-major, sx-minor
-    t2s = t2s.reshape(nshift * nshift, h, w)
+    # hierarchical window sums: 2.0x the direct 27-tap form on a v5e
+    # (6.58 -> 3.25 ms prep+build at 512^2, scripts/lk_breakdown.json) —
+    # the build is VPU-add-bound, so ~2*sqrt(L) adds beat L adds even at
+    # the cost of a materialised base array.
+    t1s, t2s = lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
+                               hierarchical=True)
 
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
@@ -356,7 +377,7 @@ class DenseLucasKanadeAdapter:
     def __init__(self, Niter: int = 5, halfWindow: int = 13,
                  provideGenericPyramidalDefaults: bool = True,
                  enableVorticityEnhancement: bool = False,
-                 max_shift: int = 6, computeErrorMap: bool = False):
+                 max_shift: int = 5, computeErrorMap: bool = False):
         self.Niter = int(Niter)
         self.halfWindow = int(halfWindow)
         self.provideGenericPyramidalDefaults = provideGenericPyramidalDefaults

@@ -5,13 +5,15 @@ The LK window weights are 0/1 masks over the 32-sample grid
 maximal runs of ones.  Two decompositions, selected per call site:
 
   * direct — the plain L-tap slice sum.  XLA fuses it into ONE kernel per
-    axis with zero materialised intermediates; since the LK shift-plane
-    build is HBM-bound on intermediates (not VPU-bound on adds), this is
-    the fast form for the XLA build.
+    axis with zero materialised intermediates; fast for one-shot sums on
+    small fields (structure tensor).
   * hierarchical — each run of length L into ~2*sqrt(L) static slice-adds
     (a base box of width a ~= sqrt(L) reused by b = L // a strided slices
-    plus remainder taps).  Preferred inside Pallas kernels, where every
-    lane-offset slice lowers to a VPU rotate and op count dominates.
+    plus remainder taps).  Used inside Pallas kernels (lane-offset slices
+    lower to VPU rotates, op count dominates) AND for the XLA shift-plane
+    build: the 338-plane build is VPU-add-bound, and the v5e A/B measured
+    hierarchical at 2.0x direct (6.58 -> 3.25 ms prep+build at 512^2,
+    scripts/lk_breakdown.json) despite the materialised base.
 
 Shared by the XLA shift-plane build (models/lucas_kanade.py) and the fused
 Pallas LK kernel (ops/pallas/lk_iter.py) so both paths keep the exact same
