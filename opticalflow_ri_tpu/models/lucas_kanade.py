@@ -61,12 +61,14 @@ _STEP_EPS = 0.01
 
 
 def _lk_impl(h: int, w: int, max_shift: int) -> str:
-    """Static dispatch: XLA shift-plane build + band-resident Pallas GN loop
-    (measured 2.4x the XLA fori_loop on a v5e) when the backend policy
-    allows, else the XLA fori_loop.  The fully fused build+GN kernel
-    (impl="pallas_fused") measured SLOWER (5.9 vs 5.1 ms at 512^2 — the
-    in-VMEM band build pays ~2x redundant halo work that XLA's streamed
-    build amortises globally) and is explicit-opt-in only."""
+    """Static dispatch: shift-plane build (Pallas band-resident kernel when
+    validated, else hierarchical XLA — see _lk_build_impl) + band-resident
+    Pallas GN loop when the backend policy allows, else the XLA fori_loop.
+    The fully fused single-kernel build+GN (impl="pallas_fused") measured
+    SLOWER (5.9 vs 5.1 ms at 512^2 with the round-2 direct build — its
+    band-32 halo repeats ~2x of the build work and its 169-plane unroll
+    cost a ~29 min Mosaic compile) and is explicit-opt-in only; the
+    two-kernel split keeps the halo at band 64 and the compile tractable."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
@@ -75,6 +77,20 @@ def _lk_impl(h: int, w: int, max_shift: int) -> str:
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
 
     return "pallas" if lk_gn_supports_pallas(h, w, max_shift) else "xla"
+
+
+def _lk_build_impl(h: int, w: int, max_shift: int) -> bool:
+    """Whether the default "pallas" path also uses the band-resident Pallas
+    shift-plane BUILD kernel (ops/pallas/lk_build.py) — gated on the
+    hardware-validated registry like every kernel.  Explicit impl values
+    "pallas_build" / "pallas_xlabuild" force either build for A/B runs."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not is_validated("lk_build"):
+        return False
+    from opticalflow_ri_tpu.ops.pallas.lk_build import lk_build_supports_pallas
+
+    return lk_build_supports_pallas(h, w, max_shift)
 
 
 def lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
@@ -217,7 +233,8 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     i_core = lax.dynamic_slice(ipad, (oi, oi), (core_h, core_w))
 
     def wsum(x):
-        return _wsum2d(x, runs_y, runs_x, hw, h, w)
+        # ladder mode: fewest VPU adds (see ops/window_sums.py)
+        return _wsum2d(x, runs_y, runs_x, hw, h, w, hierarchical="ladder")
 
     # Structure tensor (weights are 0/1 so w == w^2).
     a11 = wsum(gx_core * gx_core)
@@ -258,14 +275,20 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     slab = lax.dynamic_slice(
         jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
     )
-    # hierarchical window sums: 2.0x the direct 27-tap form on a v5e
-    # (6.58 -> 3.25 ms prep+build at 512^2, scripts/lk_breakdown.json) —
-    # the build is VPU-add-bound, so ~2*sqrt(L) adds beat L adds even at
-    # the cost of a materialised base array.
-    t1s, t2s = lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
-                               hierarchical=True)
+    if impl == "pallas_build" or (impl == "pallas" and _lk_build_impl(h, w, R)):
+        # band-resident Pallas build: intermediates never leave VMEM
+        from opticalflow_ri_tpu.ops.pallas.lk_build import lk_build_planes_pallas
 
-    if impl == "pallas":
+        t1s, t2s = lk_build_planes_pallas(slab, g_pair, hw, R, runs_y, runs_x)
+    else:
+        # ladder window sums: fewest VPU adds of the three forms — the
+        # build is VPU-add-bound, and the v5e sweep measured direct 4.86,
+        # two-level hierarchical 2.11, ladder 1.59 ms for the 512^2 R=5
+        # build (scripts/lk_build_band_sweep.json, lk_breakdown.json).
+        t1s, t2s = lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
+                                   hierarchical="ladder")
+
+    if impl in ("pallas", "pallas_build", "pallas_xlabuild"):
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
 
         jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)

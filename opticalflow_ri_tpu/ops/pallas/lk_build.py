@@ -1,0 +1,153 @@
+"""Dense-LK shift-plane build as a Pallas TPU kernel.
+
+The XLA build (models/lucas_kanade.py:lk_build_planes) streams one
+window-sum pass per (row-shift, col-shift) pair over the full image:
+2*(2R+1)^2 hierarchical passes whose intermediates (the sqrt-L base boxes
+and the x-pass results) round-trip HBM between the XLA fusions.  This
+kernel computes the same planes band-resident: for one row shift sy and one
+row band, the J slice, both gradient products, and every window-sum
+intermediate live in VMEM; only the finished (nshift^2, H, W) plane stacks
+are written to HBM — once, in exactly the sy-major/sx-minor layout the
+band-resident GN kernel (lk_iter.py) consumes.
+
+Grid = (nshift, n_bands) with bands innermost: the sy-shifted slab block is
+re-fetched only when sy changes (nshift DMAs of ~1 MB), and the gradient
+stack stays resident for the whole launch.  The row shift is applied on the
+XLA side by stacking the 2R+1 row-shifted copies of the J slab
+(``slab_stack``): a dynamic ``sy`` offset inside the kernel would break
+Mosaic's 8-aligned sublane-offset rule, while the stacked copy turns it
+into a BlockSpec index — the ~13 MB copy costs ~30 us of HBM traffic.
+
+Summation order matches the XLA hierarchical build exactly (same
+windowed_sum_axis decomposition, x-axis pass then y-axis pass).
+
+Ref parity anchor: the planes feed the Gauss-Newton solve of
+src/pyrlkDenseLargeW.cl:304-669 (see models/lucas_kanade.py docstring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opticalflow_ri_tpu.ops.window_sums import windowed_sum_axis
+
+_GRID = 32  # the CL kernel's 32-sample window grid
+_EXT = _GRID - 1
+
+
+def _lk_build_kernel(slab_ref, g_ref, t1_out, t2_out, *, nshift: int,
+                     hw: int, h: int, w: int, band: int,
+                     runs_y: tuple, runs_x: tuple, mode):
+    i = pl.program_id(1)
+    y0 = i * band
+    core_w = w + _EXT
+
+    jband = slab_ref[0, pl.ds(y0, band + _EXT), :]
+    g0 = g_ref[0, pl.ds(y0, band + _EXT), :]
+    g1 = g_ref[1, pl.ds(y0, band + _EXT), :]
+
+    for sx in range(nshift):
+        js = jband[:, sx : sx + core_w]
+        for g, out in ((g0, t1_out), (g1, t2_out)):
+            xs = windowed_sum_axis(js * g, runs_x, hw, 1, w,
+                                   hierarchical=mode)
+            out[sx] = windowed_sum_axis(xs, runs_y, hw, 0, band,
+                                        hierarchical=mode)
+
+
+def _build_band(h: int, w: int, nshift: int) -> int:
+    """Largest band dividing h whose output blocks + intermediates fit the
+    VMEM budget.  Bigger bands win: the x-pass recomputes a 31-row halo per
+    band, so band=512 pays 6% redundant work where band=64 pays 48% — the
+    v5e sweep (scripts/lk_build_band_sweep.json) measured 1.31 ms at
+    band 512 vs 2.92 ms at band 64 for the 512^2 ladder build."""
+    for band in (h, 512, 256, 128, 64, 32, 16, 8):
+        if band > h or h % band:
+            continue
+        out_blk = 2 * nshift * band * w * 4
+        interm = 4 * (band + _EXT) * (w + _EXT) * 4
+        if out_blk + interm <= 56 * 1024 * 1024:
+            return band
+    return 8
+
+
+def lk_build_supports_pallas(h: int, w: int, max_shift: int) -> bool:
+    """Bands must tile h; the slab block, gradient stack, output blocks and
+    band intermediates must fit VMEM together."""
+    if h % 8 != 0:
+        return False
+    nshift = 2 * max_shift + 1
+    band = _build_band(h, w, nshift)
+    core_h, core_w = h + _EXT, w + _EXT
+    total = (core_h * (core_w + 2 * max_shift) * 4      # slab block
+             + 2 * core_h * core_w * 4                  # gradient stack
+             + 2 * nshift * band * w * 4                # output blocks
+             + 4 * (band + _EXT) * core_w * 4)          # live intermediates
+    return total <= 80 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("hw", "R", "runs_y", "runs_x", "band",
+                                   "mode", "interpret"))
+def lk_build_planes_pallas(slab, g_pair, hw: int, R: int, runs_y: tuple,
+                           runs_x: tuple, band: int | None = None,
+                           mode="ladder", interpret: bool = False):
+    """Shift-plane stacks T1/T2 of shape ((2R+1)^2, h, w), sy-major.
+
+    ``slab`` is the replicate-padded J image covering rows/cols
+    [-(hw+R), {h,w}-1 + (GRID-1-hw) + R] relative to the pixel grid;
+    ``g_pair`` the (2, h+GRID-1, w+GRID-1) gradient stack over window
+    offsets [-hw, GRID-1-hw] (see models/lucas_kanade.py).
+    """
+    nshift = 2 * R + 1
+    _, core_h, core_w = g_pair.shape
+    h, w = core_h - _EXT, core_w - _EXT
+    if band is None:
+        band = _build_band(h, w, nshift)
+    assert h % band == 0, (h, band)
+
+    # 2R+1 row-shifted slab views, stacked: turns the kernel's row shift
+    # into a BlockSpec index (dynamic sublane offsets must be 8-aligned).
+    slab_stack = jnp.stack(
+        [jax.lax.dynamic_slice(slab, (sy, 0), (core_h, slab.shape[1]))
+         for sy in range(nshift)]
+    ).astype(jnp.float32)
+
+    kern = partial(_lk_build_kernel, nshift=nshift, hw=hw, h=h, w=w,
+                   band=band, runs_y=tuple(runs_y), runs_x=tuple(runs_x),
+                   mode=mode)
+    t1s, t2s = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((nshift * nshift, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((nshift * nshift, h, w), jnp.float32),
+        ),
+        grid=(nshift, h // band),
+        in_specs=[
+            pl.BlockSpec((1, core_h, slab_stack.shape[2]),
+                         lambda sy, i: (sy, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, core_h, core_w),
+                         lambda sy, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nshift, band, w), lambda sy, i: (sy, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nshift, band, w), lambda sy, i: (sy, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nshift * nshift * h * w * 24,
+            bytes_accessed=(slab_stack.size + g_pair.size
+                            + 2 * nshift * nshift * h * w) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(slab_stack, g_pair.astype(jnp.float32))
+    return t1s, t2s

@@ -24,6 +24,9 @@ VALIDATED_KERNELS = {
     "blur5": ("blur5_pallas_compiled", "blur5_pallas"),
     # dense-LK banded Gauss-Newton kernel (2.27x)
     "lk_gn": ("lk_pallas_compiled", "lk_pallas"),
+    # dense-LK band-resident ladder shift-plane build (bit-identical,
+    # 1.37x the XLA ladder build end-to-end @512^2)
+    "lk_build": ("lk_build_compiled", "lk_build_pallas"),
     # Horn-Schunck whole-solve VMEM-resident kernel (2.56x @512^2)
     "hs_whole": ("hs_whole_pallas_compiled", "hs_whole_pallas_512"),
     # Horn-Schunck temporal-blocked tiled kernel (4.45x @2048^2)

@@ -39,21 +39,60 @@ def runs_from_mask(mask: np.ndarray):
     return tuple(runs)
 
 
+def _smooth_factorization(L: int):
+    """Largest 2/3/5-smooth L' <= L as its factor list, plus the remainder
+    L - L'.  Sliding-sum adds for a width-L' ladder = sum(f - 1 for f in
+    factors); searching all smooth numbers <= L minimises adds + remainder."""
+    best = (L - 1, [], L)  # (adds, factors, remainder) — all-direct fallback
+    for lp in range(L, 0, -1):
+        m, factors = lp, []
+        for f in (2, 3, 5):
+            while m % f == 0:
+                m //= f
+                factors.append(f)
+        if m != 1:
+            continue
+        adds = sum(f - 1 for f in factors) + (L - lp)
+        if adds < best[0]:
+            best = (adds, sorted(factors), L - lp)
+    return best[1], best[2]
+
+
+def _ladder_run(x, lo, L, size, axis, out_len):
+    """Width-L sliding sum starting at offset ``lo`` via a factor ladder:
+    S_1 = x;  S_{m*f}(c) = sum_{j<f} S_m(c + j*m).  A width-27 window costs
+    6 adds/element (3*3*3) vs 11 for the two-level hierarchical form."""
+    factors, rem = _smooth_factorization(L)
+    s, m = x, 1
+    for f in factors:
+        n = s.shape[axis]
+        nxt = None
+        for j in range(f):
+            t = lax.slice_in_dim(s, j * m, n - (f - 1) * m + j * m, axis=axis)
+            nxt = t if nxt is None else nxt + t
+        s, m = nxt, m * f
+    term = lax.slice_in_dim(s, lo, lo + out_len, axis=axis)
+    for k in range(lo + m, lo + L):
+        term = term + lax.slice_in_dim(x, k, k + out_len, axis=axis)
+    return term
+
+
 def windowed_sum_axis(x, runs, half_window, axis, out_len, hierarchical=False):
     """sum_k mask[k] * x[p + k - half_window] along ``axis``.  ``x`` covers
     positions [-hw, out_len-1+GRID-1-hw] relative to the output origin.
 
-    ``hierarchical=False`` (default) emits the direct L-tap slice sum: one
-    fused XLA kernel per axis with no materialised base array — on TPU the
-    build is HBM-bound on intermediates, not VPU-bound on adds, so fewer
-    materialisations beat fewer adds.  ``hierarchical=True`` keeps the
-    ~2*sqrt(L) two-level decomposition (base box + strided reuse), which is
-    preferred inside Pallas kernels where lane-offset slices lower to VPU
-    rotates and op count dominates."""
+    ``hierarchical=False`` (default) emits the direct L-tap slice sum;
+    ``hierarchical=True`` the ~2*sqrt(L) two-level decomposition (base box
+    + strided reuse); ``hierarchical="ladder"`` the factor-ladder form
+    (sum(f-1) adds over a 2/3/5-smooth factorization — 6 adds for L=27)."""
     size = x.shape[axis]
     out = None
     for lo, hi in runs:
         L = hi - lo + 1
+        if hierarchical == "ladder":
+            term = _ladder_run(x, lo, L, size, axis, out_len)
+            out = term if out is None else out + term
+            continue
         a = max(1, int(round(L ** 0.5))) if hierarchical else 1
         b = L // a
         if a == 1:

@@ -217,6 +217,28 @@ def main():
         emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
              speedup_vs_xla=m_lx / m_lp)
 
+    # ---------------- LK Pallas shift-plane build ----------------
+    if want("lk_build"):
+        from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+        u0 = jnp.zeros((h, w), jnp.float32)
+        lk_xb = lambda a, b, c, d: lk_dense_solve(a, b, c, d,
+                                                  impl="pallas_xlabuild")
+        lk_pb = lambda a, b, c, d: lk_dense_solve(a, b, c, d,
+                                                  impl="pallas_build")
+        signal.alarm(900)
+        m_xb, t1xb = marginal(lk_xb, (im1, im2, u0, u0))
+        emit("lk_build_xla", marginal_ms=m_xb * 1e3, latency_s=t1xb)
+        signal.alarm(2400)
+        up, vp, _ = lk_pb(im1, im2, u0, u0)
+        ur, vr, _ = lk_xb(im1, im2, u0, u0)
+        diff = float(jnp.max(jnp.abs(up - ur))) + float(jnp.max(jnp.abs(vp - vr)))
+        emit("lk_build_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_pb, t1pb = marginal(lk_pb, (im1, im2, u0, u0))
+        emit("lk_build_pallas", marginal_ms=m_pb * 1e3, latency_s=t1pb,
+             speedup_vs_xla=m_xb / m_pb)
+
     # ---------------- whole-solve HS / Liu-Shen kernels at 512^2 ------------
     from opticalflow_ri_tpu.models.horn_schunck import hs_solve
     from opticalflow_ri_tpu.models.liu_shen import liu_shen_solve

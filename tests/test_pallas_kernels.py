@@ -86,10 +86,17 @@ def test_lk_gn_pallas_matches_xla_interpret(monkeypatch):
 
     u_x, v_x, s_x = lk_dense_solve(im1, im2, z, z, impl="xla")
 
+    import opticalflow_ri_tpu.ops.pallas.lk_build as lkb
+
     orig = lki.lk_gn_iterate_pallas
     monkeypatch.setattr(
         lki, "lk_gn_iterate_pallas",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    orig_b = lkb.lk_build_planes_pallas
+    monkeypatch.setattr(
+        lkb, "lk_build_planes_pallas",
+        lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
     )
     u_p, v_p, s_p = lk_dense_solve(im1, im2, z, z, impl="pallas")
 
@@ -110,10 +117,17 @@ def test_lk_gn_pallas_asymmetric_window_and_flow_init(monkeypatch):
 
     u_x, v_x, s_x = lk_dense_solve(im1, im2, u0, v0, asym=(0, 1, 0, 1), impl="xla")
 
+    import opticalflow_ri_tpu.ops.pallas.lk_build as lkb
+
     orig = lki.lk_gn_iterate_pallas
     monkeypatch.setattr(
         lki, "lk_gn_iterate_pallas",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    orig_b = lkb.lk_build_planes_pallas
+    monkeypatch.setattr(
+        lkb, "lk_build_planes_pallas",
+        lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
     )
     u_p, v_p, s_p = lk_dense_solve(im1, im2, u0, v0, asym=(0, 1, 0, 1), impl="pallas")
 
@@ -279,10 +293,17 @@ def test_lk_gn_pallas_odd_shape_interpret(monkeypatch):
 
     u_x, v_x, s_x = lk_dense_solve(im1, im2, z, z, impl="xla")
 
+    import opticalflow_ri_tpu.ops.pallas.lk_build as lkb
+
     orig = lki.lk_gn_iterate_pallas
     monkeypatch.setattr(
         lki, "lk_gn_iterate_pallas",
         lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    orig_b = lkb.lk_build_planes_pallas
+    monkeypatch.setattr(
+        lkb, "lk_build_planes_pallas",
+        lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
     )
     u_p, v_p, s_p = lk_dense_solve(im1, im2, z, z, impl="pallas")
 
@@ -536,3 +557,40 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
             assert is_validated(kernel), (
                 f"default dispatch for {fam}@{shape} selects unproven "
                 f"kernel {kernel}")
+
+
+def test_lk_build_pallas_matches_xla_build_interpret():
+    """Band-resident shift-plane build kernel is bit-identical to the XLA
+    hierarchical build (same windowed_sum_axis decomposition, same order)."""
+    from jax import lax
+
+    from opticalflow_ri_tpu.models.lucas_kanade import (
+        lk_build_planes, _GRID)
+    from opticalflow_ri_tpu.oracle.lucas_kanade import window_mask
+    from opticalflow_ri_tpu.ops.pallas.lk_build import (
+        lk_build_planes_pallas, lk_build_supports_pallas)
+    from opticalflow_ri_tpu.ops.window_sums import runs_from_mask
+
+    rng = np.random.default_rng(7)
+    hw, R = 13, 5
+    runs = runs_from_mask(window_mask(2 * hw + 1, 0, 0))
+    runs_asym = runs_from_mask(window_mask(2 * hw + 1, 1, 0))
+    for (h, w), (ry, rx) in [((64, 128), (runs, runs)),
+                             ((72, 200), (runs, runs_asym))]:
+        pad = hw + (_GRID - hw) + R + 1
+        im = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        jpad = jnp.pad(jnp.asarray(im), pad, mode="edge")
+        gp = jnp.asarray(rng.normal(0, 50, (2, h + _GRID - 1, w + _GRID - 1))
+                         .astype(np.float32))
+        oi = pad - hw
+        slab = lax.dynamic_slice(
+            jpad, (oi - R, oi - R),
+            (h + _GRID - 1 + 2 * R, w + _GRID - 1 + 2 * R))
+        assert lk_build_supports_pallas(h, w, R)
+        for mode in (True, "ladder"):
+            t1x, t2x = lk_build_planes(slab, gp, ry, rx, hw, h, w, R,
+                                       hierarchical=mode)
+            t1p, t2p = lk_build_planes_pallas(slab, gp, hw, R, ry, rx,
+                                              mode=mode, interpret=True)
+            np.testing.assert_array_equal(np.asarray(t1p), np.asarray(t1x))
+            np.testing.assert_array_equal(np.asarray(t2p), np.asarray(t2x))
