@@ -16,11 +16,12 @@ where the bilinear sample decomposes over its 4 integer corners c, and
     T1_s(p) = sum_off w(off) * J[p + s + off] * gx(p + off)
 depends only on the *integer* shift s = floor(d) + corner.  All T1_s planes
 for s in [-R, R]^2 are precomputed once per compute() call as separable
-weighted window sums (cumsum differences — pure VPU streaming), and each GN
-iteration reduces to 8 plane gathers (4 corners x {gx, gy} stacks) plus
-elementwise algebra.  Work per iteration drops from O(H*W*win^2) texture reads
-to O(H*W) — the win^2 factor is paid once, reused across iterations and
-shared by all pixels.
+weighted window sums (factor-ladder slice sums — pure VPU streaming; a
+band-resident Pallas kernel, ops/pallas/lk_build.py, when validated), and
+each GN iteration reduces to a tent-weight contraction over the shift planes
+(4 corners x {gx, gy} stacks) plus elementwise algebra.  Work per iteration
+drops from O(H*W*win^2) texture reads to O(H*W) — the win^2 factor is paid
+once, reused across iterations and shared by all pixels.
 
 Parity notes (validated against oracle/lucas_kanade.py, which is validated
 against the CL semantics):

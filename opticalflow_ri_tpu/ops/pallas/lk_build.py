@@ -18,8 +18,9 @@ XLA side by stacking the 2R+1 row-shifted copies of the J slab
 Mosaic's 8-aligned sublane-offset rule, while the stacked copy turns it
 into a BlockSpec index — the ~13 MB copy costs ~30 us of HBM traffic.
 
-Summation order matches the XLA hierarchical build exactly (same
-windowed_sum_axis decomposition, x-axis pass then y-axis pass).
+Summation order matches the XLA build exactly for the same ``mode`` (same
+windowed_sum_axis decomposition, x-axis pass then y-axis pass) — the
+hardware parity stage measures max_abs_diff 0.0 (bit-identical).
 
 Ref parity anchor: the planes feed the Gauss-Newton solve of
 src/pyrlkDenseLargeW.cl:304-669 (see models/lucas_kanade.py docstring).
@@ -66,12 +67,20 @@ def _build_band(h: int, w: int, nshift: int) -> int:
     band, so band=512 pays 6% redundant work where band=64 pays 48% — the
     v5e sweep (scripts/lk_build_band_sweep.json) measured 1.31 ms at
     band 512 vs 2.92 ms at band 64 for the 512^2 ladder build."""
+    core_h, core_w = h + _EXT, w + _EXT
     for band in (h, 512, 256, 128, 64, 32, 16, 8):
         if band > h or h % band:
             continue
-        out_blk = 2 * nshift * band * w * 4
-        interm = 4 * (band + _EXT) * (w + _EXT) * 4
-        if out_blk + interm <= 56 * 1024 * 1024:
+        # Scoped-vmem model calibrated against hardware OOM reports
+        # (112 M limit): 1024^2 band-512 needs 113.4 M and 2048^2 band-128
+        # needs 113.1 M (both OOM); 512^2 band-512 and 1024^2 band-256
+        # compile and run.  Double-buffered outputs + slab + gradients +
+        # ~12 live band-row intermediates.
+        total = (2 * (2 * nshift * band * w * 4)
+                 + core_h * (core_w + nshift - 1) * 4
+                 + 2 * core_h * core_w * 4
+                 + 12 * (band + _EXT) * core_w * 4)
+        if total <= 96 * 1024 * 1024:
             return band
     return 8
 
@@ -82,13 +91,9 @@ def lk_build_supports_pallas(h: int, w: int, max_shift: int) -> bool:
     if h % 8 != 0:
         return False
     nshift = 2 * max_shift + 1
-    band = _build_band(h, w, nshift)
-    core_h, core_w = h + _EXT, w + _EXT
-    total = (core_h * (core_w + 2 * max_shift) * 4      # slab block
-             + 2 * core_h * core_w * 4                  # gradient stack
-             + 2 * nshift * band * w * 4                # output blocks
-             + 4 * (band + _EXT) * core_w * 4)          # live intermediates
-    return total <= 80 * 1024 * 1024
+    # below band 128 the x-pass halo recompute loses to the XLA streamed
+    # build (band-64 measured 0.885x XLA at 512^2, lk_build_band_sweep)
+    return _build_band(h, w, nshift) >= 128
 
 
 @partial(jax.jit, static_argnames=("hw", "R", "runs_y", "runs_x", "band",
@@ -140,7 +145,7 @@ def lk_build_planes_pallas(slab, g_pair, hw: int, R: int, runs_y: tuple,
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nshift * nshift * h * w * 24,

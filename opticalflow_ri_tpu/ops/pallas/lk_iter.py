@@ -138,7 +138,10 @@ def lk_gn_supports_pallas(h: int, w: int, max_shift: int) -> bool:
     nshift2 = (2 * max_shift + 1) ** 2
     wp = w + _align2(h, w)[1]
     t_block_bytes = 2 * nshift2 * 8 * wp * 4
-    return t_block_bytes <= 10 * 1024 * 1024
+    # 20 MB admits 2048^2 at R=5 (15.9 MB T-block pair; ~32 MB double-
+    # buffered — hardware-probed, scripts/lk_size_probe.json); the XLA
+    # fallback at that size pays a ~3.9 GB plane transpose before its loop.
+    return t_block_bytes <= 20 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("n_iter", "R", "hw", "band", "interpret"))

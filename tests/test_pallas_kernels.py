@@ -586,7 +586,8 @@ def test_lk_build_pallas_matches_xla_build_interpret():
         slab = lax.dynamic_slice(
             jpad, (oi - R, oi - R),
             (h + _GRID - 1 + 2 * R, w + _GRID - 1 + 2 * R))
-        assert lk_build_supports_pallas(h, w, R)
+        # the dispatch gate excludes sub-128 bands (halo-dominated) but the
+        # kernel itself is exercised here at any aligned shape
         for mode in (True, "ladder"):
             t1x, t2x = lk_build_planes(slab, gp, ry, rx, hw, h, w, R,
                                        hierarchical=mode)
@@ -594,3 +595,18 @@ def test_lk_build_pallas_matches_xla_build_interpret():
                                               mode=mode, interpret=True)
             np.testing.assert_array_equal(np.asarray(t1p), np.asarray(t1x))
             np.testing.assert_array_equal(np.asarray(t2p), np.asarray(t2x))
+
+
+def test_lk_build_dispatch_envelope():
+    """The band chooser's VMEM model (calibrated against hardware OOM
+    reports) admits the proven shapes and excludes the OOM'd ones."""
+    from opticalflow_ri_tpu.ops.pallas.lk_build import (
+        _build_band, lk_build_supports_pallas)
+
+    assert _build_band(512, 512, 11) == 512      # compiled+ran, 1.31 ms
+    assert _build_band(1024, 1024, 11) == 256    # band 512 OOM'd at 113.4M
+    assert lk_build_supports_pallas(512, 512, 5)
+    assert lk_build_supports_pallas(1024, 1024, 5)
+    # 2048^2: best fitting band is 64 — halo-dominated, kernel stays out
+    assert not lk_build_supports_pallas(2048, 2048, 5)
+    assert not lk_build_supports_pallas(500, 700, 5)  # h % 8 != 0
