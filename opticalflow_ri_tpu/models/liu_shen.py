@@ -142,9 +142,13 @@ def _ls_impl(shape) -> str:
     return "xla"
 
 
-@partial(jax.jit, static_argnames=("max_iter", "impl"))
+@partial(jax.jit, static_argnames=("max_iter", "tol", "impl"))
 def liu_shen_solve(im1, im2, h, u0, v0, max_iter: int = 60, tol: float = 1e-8,
                    impl: str = "auto"):
+    # tol is STATIC: the Pallas kernels bake it into their convergence
+    # conditions (a traced tol would be captured by the kernel closure —
+    # "captures constants [f32[]]" on lowering; only surfaced when a caller
+    # passed tol explicitly, since an omitted default binds as a literal).
     """Run the Liu-Shen fixed-point solve.  Component convention matches the
     reference's internal one (u along rows); see the adapter for the swap.
     ``impl="pallas"`` uses the fused VMEM-resident kernel (TPU only)."""

@@ -74,7 +74,9 @@ def blur5_flow_supports_pallas(shape, ksize: int) -> bool:
     ph, pw = _align2(rows, cols)
     half = ksize // 2
     mp_bytes = 5 * (rows + ph + 2 * half) * (cols + pw + 2 * half) * 4
-    return mp_bytes <= 10 * 1024 * 1024
+    # 48 MB admits 1024^2 (22.3 MB whole-M residency; hardware-probed,
+    # scripts/fb_size_probe.json); 2048^2 stays on the XLA path.
+    return mp_bytes <= 48 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))

@@ -127,7 +127,9 @@ def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
     r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
         cols + pw + 2 * sample_max_shift + 1
     ) * 4
-    return r1p_bytes <= 8 * 1024 * 1024
+    # 48 MB admits 1024^2 (21.8 MB whole-R1 residency; hardware-probed,
+    # scripts/fb_size_probe.json); 2048^2 (86 MB) stays on the XLA path.
+    return r1p_bytes <= 48 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
