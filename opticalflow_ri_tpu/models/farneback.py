@@ -170,6 +170,16 @@ def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 6):
         t11 = jnp.take(flat, i00 + cols + 1, axis=1).reshape(5, rows, cols)
         s = a00 * t00 + a01 * t01 + a10 * t10 + a11 * t11
 
+    return assemble_m(s, r0, flowx, flowy, inside)
+
+
+def assemble_m(s, r0, flowx, flowy, inside):
+    """The non-sampling tail of updateMatrices: difference blend, border
+    attenuation ramp and normal-equation products
+    (ref: optical_flow_farneback.cl:310-346).  Shared by the XLA sampler
+    above and the channel-blocked Pallas sampler
+    (ops/pallas/tent_sample.py:update_matrices_channel_pallas)."""
+    rows, cols = flowx.shape
     r2 = jnp.where(inside, s[0], 0.0)
     r3 = jnp.where(inside, s[1], 0.0)
     r4 = jnp.where(inside, (r0[2] + s[2]) * 0.5, r0[2])
@@ -210,13 +220,20 @@ def _um_impl(shape, sample_max_shift=6) -> str:
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-    if not (pallas_default_on() and is_validated("um")):
+    if not pallas_default_on():
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_channel_supports_pallas,
         update_matrices_supports_pallas,
     )
 
-    return "pallas" if update_matrices_supports_pallas(shape, sample_max_shift) else "xla"
+    if is_validated("um") and update_matrices_supports_pallas(
+            shape, sample_max_shift):
+        return "pallas"
+    if is_validated("um_channel") and update_matrices_channel_supports_pallas(
+            shape, sample_max_shift):
+        return "pallas_channel"
+    return "xla"
 
 
 def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6,
@@ -226,15 +243,28 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6,
         impl = _um_impl(r0.shape, sample_max_shift)
     elif impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_supports_pallas,
             update_matrices_supports_pallas,
         )
+        from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
         if not update_matrices_supports_pallas(r0.shape, sample_max_shift):
-            impl = "xla"
+            impl = ("pallas_channel"
+                    if is_validated("um_channel")
+                    and update_matrices_channel_supports_pallas(
+                        r0.shape, sample_max_shift)
+                    else "xla")
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
 
         return update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift)
+    if impl == "pallas_channel":
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_pallas,
+        )
+
+        return update_matrices_channel_pallas(flowx, flowy, r0, r1,
+                                              sample_max_shift)
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
 
 

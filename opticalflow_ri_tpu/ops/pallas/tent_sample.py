@@ -176,3 +176,108 @@ def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 6,
         interpret=interpret,
     )(r1p, r0, flowx.astype(jnp.float32), flowy.astype(jnp.float32))
     return out[:, :rows, :cols]
+
+
+def _tent_sample_channel_kernel(r1p_ref, fx_ref, fy_ref, s_out, *, R: int,
+                                band: int):
+    """One (channel, row-band) cell: separable tent contraction with the
+    channel's R1 plane resident in VMEM.  Factorising the tent weights
+    (sum_sy wy * (sum_sx wx * win)) costs nshift^2 + nshift FMAs per
+    channel instead of sharing nshift^2 dense weight products across the 5
+    channels — the price of channel blocking, which is what lets 2048^2
+    (86 MB all-channel field) run from VMEM at all."""
+    i = pl.program_id(1)
+    y0 = i * band
+    cp = fx_ref.shape[-1]
+
+    flowx = fx_ref[:]
+    flowy = fy_ref[:]
+    dxc = jnp.clip(flowx, float(-R), R - 1e-3)
+    dyc = jnp.clip(flowy, float(-R), R - 1e-3)
+    nshift = 2 * R + 1
+
+    win = r1p_ref[0, pl.ds(y0, band + nshift - 1), :]
+    # wx is sy-invariant: hoist the 2R+1 weight planes out of the sy loop
+    # (the 2048^2 band-256 variant OOM'd VMEM at 212 M largely from unrolled
+    # live temporaries; small bands + hoisted weights keep pressure low)
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+           for sx in range(nshift)]
+    acc = jnp.zeros((band, cp), jnp.float32)
+    for sy in range(nshift):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+        rows_s = win[sy : sy + band, :]
+        t = jnp.zeros((band, cp), jnp.float32)
+        for sx in range(nshift):
+            t = t + wxs[sx] * rows_s[:, sx : sx + cp]
+        acc = acc + wy * t
+    s_out[0] = acc
+
+
+def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
+    """One R1 channel plane (not all five) must fit VMEM double-buffered."""
+    rows, cols = shape[-2], shape[-1]
+    if sample_max_shift is None:
+        return False
+    ph, pw = _align2(rows, cols)
+    ch_bytes = (rows + ph + 2 * sample_max_shift + 1) * (
+        cols + pw + 2 * sample_max_shift + 1
+    ) * 4
+    return 2 * ch_bytes <= 72 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
+def update_matrices_channel_pallas(flowx, flowy, r0, r1,
+                                   sample_max_shift: int = 6,
+                                   band: int = 64, interpret: bool = False):
+    """updateMatrices for fields beyond all-channel VMEM residency:
+    channel-blocked Pallas tent sampling + the shared XLA M assembly
+    (models.farneback.assemble_m).  Summation order differs from the dense
+    kernel (separable weights), so parity is to f32 round-off, not
+    bit-identical."""
+    from opticalflow_ri_tpu.models.farneback import assemble_m
+
+    R = int(sample_max_shift)
+    _, rows, cols = r0.shape
+    ph, pw = _align2(rows, cols)
+    rp, cp = rows + ph, cols + pw
+    while band > 8 and rp % band != 0:
+        band //= 2
+    band = min(band, rp)
+    assert rp % band == 0
+
+    r1p = jnp.pad(r1, ((0, 0), (R, R + 1), (R, R + 1)), mode="edge")
+    r1p = jnp.pad(r1p, ((0, 0), (0, ph), (0, pw)))
+    fxp = jnp.pad(flowx, ((0, ph), (0, pw)))
+    fyp = jnp.pad(flowy, ((0, ph), (0, pw)))
+
+    chan = pl.BlockSpec((1, r1p.shape[1], r1p.shape[2]),
+                        lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM)
+    band2 = pl.BlockSpec((band, cp), lambda c, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec((1, band, cp), lambda c, i: (c, i, 0),
+                           memory_space=pltpu.VMEM)
+    nshift = 2 * R + 1
+    s = pl.pallas_call(
+        partial(_tent_sample_channel_kernel, R=R, band=band),
+        out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
+        grid=(5, rp // band),
+        in_specs=[chan, band2, band2],
+        out_specs=outspec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * rows * cols * (nshift * nshift + 3 * nshift) * 2,
+            bytes_accessed=(r1p.size + 2 * flowx.size + 5 * rows * cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r1p, fxp, fyp)
+    s = s[:, :rows, :cols]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 1)
+    x1i = jnp.floor(xs + flowx).astype(jnp.int32)
+    y1i = jnp.floor(ys + flowy).astype(jnp.int32)
+    inside = (x1i >= 0) & (y1i >= 0) & (x1i < cols - 1) & (y1i < rows - 1)
+    return assemble_m(s, r0, flowx, flowy, inside)

@@ -20,6 +20,9 @@ from __future__ import annotations
 VALIDATED_KERNELS = {
     # Farneback updateMatrices tent-sample kernel (8.0x vs XLA @512^2)
     "um": ("um_pallas_compiled", "um_pallas"),
+    # Farneback channel-blocked updateMatrices sampler for fields beyond
+    # all-channel VMEM residency (19x vs XLA at 2048^2, flow parity 3.2e-6)
+    "um_channel": ("um_channel_compiled", "um_channel"),
     # Farneback fused blur5+updateFlow kernel (1.44x)
     "blur5": ("blur5_pallas_compiled", "blur5_pallas"),
     # dense-LK banded Gauss-Newton kernel (2.27x)

@@ -217,6 +217,31 @@ def main():
         emit("lk_pallas", marginal_ms=m_lp * 1e3, latency_s=t1lp,
              speedup_vs_xla=m_lx / m_lp)
 
+    # ---------------- Farneback channel-blocked um at 2048^2 ----------------
+    if want("um_channel"):
+        from opticalflow_ri_tpu.models.farneback import farneback_solve
+        from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
+
+        s1, s2, _, _ = particle_image_pair(shape=(2048, 2048), seed=0)
+        b1 = jnp.asarray(s1, jnp.float32)
+        b2 = jnp.asarray(s2, jnp.float32)
+        zb = jnp.zeros((2048, 2048), jnp.float32)
+        # force the channel impl: the default dispatch only selects it once
+        # it is in the validated registry (which this measurement feeds)
+        fb_x = lambda a, b: farneback_solve(a, b, zb, zb, impl="xla")[:2]
+        fb_c = lambda a, b: farneback_solve(a, b, zb, zb,
+                                            impl="pallas_channel")[:2]
+        signal.alarm(2400)
+        ux, vx = fb_x(b1, b2)
+        uc, vc = fb_c(b1, b2)
+        diff = float(jnp.max(jnp.abs(uc - ux))) + float(jnp.max(jnp.abs(vc - vx)))
+        emit("um_channel_compiled", max_abs_diff=diff)
+        signal.alarm(1800)
+        m_fx, _ = marginal(fb_x, (b1, b2), chain=2, repeats=2)
+        emit("um_channel_xla", marginal_ms=m_fx * 1e3)
+        m_fc, _ = marginal(fb_c, (b1, b2), chain=4, repeats=3)
+        emit("um_channel", marginal_ms=m_fc * 1e3, speedup_vs_xla=m_fx / m_fc)
+
     # ---------------- LK Pallas shift-plane build ----------------
     if want("lk_build"):
         from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve

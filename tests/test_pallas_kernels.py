@@ -542,6 +542,7 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
         ("hs", "pallas"): "hs_whole", ("hs", "pallas_tiled"): "hs_tiled",
         ("ls", "pallas"): "ls_whole", ("ls", "pallas_tiled"): "ls_tiled",
         ("lk", "pallas"): "lk_gn", ("um", "pallas"): "um",
+        ("um", "pallas_channel"): "um_channel",
     }
     shapes = [(256, 256), (512, 512), (1024, 1024), (2048, 2048), (500, 700)]
     for shape in shapes:
@@ -610,3 +611,29 @@ def test_lk_build_dispatch_envelope():
     # 2048^2: best fitting band is 64 — halo-dominated, kernel stays out
     assert not lk_build_supports_pallas(2048, 2048, 5)
     assert not lk_build_supports_pallas(500, 700, 5)  # h % 8 != 0
+
+
+def test_um_channel_pallas_matches_xla_interpret():
+    """Channel-blocked tent sampler (for fields beyond all-channel VMEM
+    residency) matches the XLA update_matrices to f32 round-off — the
+    separable weight factorisation reorders the contraction, so parity is
+    relative, not bit-identical."""
+    from opticalflow_ri_tpu.models.farneback import (
+        poly_expansion, update_matrices)
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_channel_pallas)
+
+    rng = np.random.default_rng(11)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    ra = poly_expansion(im1, 7, 1.5)
+    rb = poly_expansion(im2, 7, 1.5)
+    fx = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
+
+    m_ref = update_matrices(fx, fy, ra, rb)
+    m_pal = update_matrices_channel_pallas(fx, fy, ra, rb, 6, band=16,
+                                           interpret=True)
+    scale = float(jnp.max(jnp.abs(m_ref)))
+    np.testing.assert_allclose(
+        np.asarray(m_pal), np.asarray(m_ref), atol=2e-6 * scale, rtol=1e-4)
