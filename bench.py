@@ -122,24 +122,6 @@ def time_config(name, d1, d2, repeats=5, chain=16):
     return lat, marginal, amortized, t_xfer, un, vn
 
 
-def time_batched(name, d1, d2, batch=8, repeats=3):
-    import jax.numpy as jnp
-    from opticalflow_ri_tpu.compile import batched_pipeline
-
-    fn = batched_pipeline(name)
-    b1 = jnp.stack([d1] * batch)
-    b2 = jnp.stack([d2] * batch)
-    u, v = fn(b1, b2)
-    _force(u, v)
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        u, v = fn(b1, b2)
-        _force(u, v)
-        times.append(time.perf_counter() - t0)
-    return float(min(times)), batch
-
-
 def time_streamed(name, d1, d2, k=16, repeats=3):
     """On-device sequential scan over k pairs: one dispatch, per-pair cost =
     (t_k - sync_overhead) / k measured via the k=1 baseline."""
@@ -306,16 +288,9 @@ def main():
         _dump_details(details)
 
     if not (os.environ.get("BENCH_QUICK") or os.environ.get("BENCH_CONFIGS")):
-        try:
-            t, b = time_batched("PyHSchunck_Fs3_4", d1, d2)
-            details["batched"] = {
-                "config": "PyHSchunck_Fs3_4", "batch": b, "seconds": t,
-                "mpix_per_s": b * MPIX / t,
-            }
-            print(f"# batched x{b}: {t*1e3:.1f} ms ({b*MPIX/t:.2f} Mpix/s)", file=sys.stderr)
-        except Exception as e:
-            details["batched"] = {"error": repr(e)}
-        # on-device streaming over pair stacks — one config per solver family
+        # on-device streaming over pair stacks — one config per solver family.
+        # (The vmapped batched_pipeline is deprecated and no longer benched;
+        # it stays opt-in via harness.batch_runner --pipeline batched.)
         details["streamed"] = {}
         for sname in ("PyHSchunck_Fs3_4", "denseLK_Fs2_0", "Farneback_Fs0_0"):
             try:
@@ -357,33 +332,47 @@ def main():
             return f
 
         solver_rows = [
-            ("HS_Fs3_4", lambda side: "HS_Fs3_4", 16, 5),
-            ("denseLK_Fs2_0", lambda side: "denseLK_Fs2_0", 4, 3),
-            ("Farneback_Fs0_0", lambda side: "Farneback_Fs0_0", 4, 3),
-            ("LiuShen_60it", _ls_timed, 4, 3),
+            ("HS_Fs3_4", lambda side: "HS_Fs3_4"),
+            ("denseLK_Fs2_0", lambda side: "denseLK_Fs2_0"),
+            ("Farneback_Fs0_0", lambda side: "Farneback_Fs0_0"),
+            ("LiuShen_60it", _ls_timed),
         ]
+        # chain length scales inversely with image area so sub-ms marginals
+        # resolve through the ~50 ms tunnel-sync jitter (round-3 verdict:
+        # chain=4 published noise floors for the fast small-size cells).
+        chain_for = {256: 64, 512: 32, 1024: 16, 2048: 16}
         details["size_scaling"] = {}
-        for label, mk, chain, reps in solver_rows:
+        fallback_cells = []
+        for label, mk in solver_rows:
             details["size_scaling"][label] = {}
             for side in (256, 512, 1024, 2048):
                 try:
                     s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
                     lat, marg, amort, _, _, _ = time_config(
                         mk(side), jnp.asarray(s1), jnp.asarray(s2),
-                        repeats=reps, chain=chain,
+                        repeats=3, chain=chain_for[side],
                     )
                     mpix = side * side / 1e6
+                    # a fallback marginal is a sync-noise floor, not a
+                    # measurement — publish null, never a number
                     details["size_scaling"][label][f"{side}x{side}"] = {
                         "latency_seconds": lat,
-                        "marginal_seconds": marg,
+                        "marginal_seconds": None if amort else marg,
                         "marginal_is_amortized_fallback": amort,
-                        "mpix_per_s": mpix / marg,
+                        "mpix_per_s": None if amort else mpix / marg,
                     }
-                    print(f"# size {label} {side}^2: marginal {marg*1e3:.2f} ms "
-                          f"({mpix/marg:.2f} Mpix/s)", file=sys.stderr)
+                    if amort:
+                        fallback_cells.append(f"{label}@{side}")
+                        print(f"# size {label} {side}^2: marginal unresolved "
+                              f"(sync jitter; amortized floor {marg*1e3:.2f} ms)",
+                              file=sys.stderr)
+                    else:
+                        print(f"# size {label} {side}^2: marginal {marg*1e3:.2f} ms "
+                              f"({mpix/marg:.2f} Mpix/s)", file=sys.stderr)
                 except Exception as e:
                     details["size_scaling"][label][f"{side}x{side}"] = {"error": repr(e)}
                 _dump_details(details)
+        details["size_scaling_fallback_cells"] = fallback_cells
 
     _dump_details(details)
     hs = details["configs"].get("HS_Fs3_4", {})

@@ -61,7 +61,7 @@ def _lk_build_kernel(slab_ref, g_ref, t1_out, t2_out, *, nshift: int,
                                         hierarchical=mode)
 
 
-def _build_band(h: int, w: int, nshift: int) -> int:
+def _build_band(h: int, w: int, nshift: int) -> int | None:
     """Largest band dividing h whose output blocks + intermediates fit the
     VMEM budget.  Bigger bands win: the x-pass recomputes a 31-row halo per
     band, so band=512 pays 6% redundant work where band=64 pays 48% — the
@@ -82,7 +82,7 @@ def _build_band(h: int, w: int, nshift: int) -> int:
                  + 12 * (band + _EXT) * core_w * 4)
         if total <= 96 * 1024 * 1024:
             return band
-    return 8
+    return None
 
 
 def lk_build_supports_pallas(h: int, w: int, max_shift: int) -> bool:
@@ -93,7 +93,8 @@ def lk_build_supports_pallas(h: int, w: int, max_shift: int) -> bool:
     nshift = 2 * max_shift + 1
     # below band 128 the x-pass halo recompute loses to the XLA streamed
     # build (band-64 measured 0.885x XLA at 512^2, lk_build_band_sweep)
-    return _build_band(h, w, nshift) >= 128
+    band = _build_band(h, w, nshift)
+    return band is not None and band >= 128
 
 
 @partial(jax.jit, static_argnames=("hw", "R", "runs_y", "runs_x", "band",
@@ -113,7 +114,12 @@ def lk_build_planes_pallas(slab, g_pair, hw: int, R: int, runs_y: tuple,
     h, w = core_h - _EXT, core_w - _EXT
     if band is None:
         band = _build_band(h, w, nshift)
-    assert h % band == 0, (h, band)
+    if band is None or h % band:
+        raise ValueError(
+            f"lk_build_planes_pallas: no VMEM-feasible band divides h={h} "
+            f"for shape ({h}, {w}) with {nshift}^2 shifts — use the XLA "
+            f"build (lk_build_planes) for this shape"
+        )
 
     # 2R+1 row-shifted slab views, stacked: turns the kernel's row shift
     # into a BlockSpec index (dynamic sublane offsets must be 8-aligned).

@@ -222,7 +222,11 @@ def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
     ch_bytes = (rows + ph + 2 * sample_max_shift + 1) * (
         cols + pw + 2 * sample_max_shift + 1
     ) * 4
-    return 2 * ch_bytes <= 72 * 1024 * 1024
+    # 18 MB/plane admits exactly the hardware-probed envelope (2048^2 R=6:
+    # 17.0 MB, scripts/fb_size_probe.json + pallas_ab_results.json:um_channel);
+    # larger unprobed shapes (~2700^2, wide non-square) stay on the XLA path
+    # until probed — a scoped-VMEM compile OOM there would be a hard failure.
+    return ch_bytes <= 18 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))

@@ -40,9 +40,11 @@ def runs_from_mask(mask: np.ndarray):
 
 
 def _smooth_factorization(L: int):
-    """Largest 2/3/5-smooth L' <= L as its factor list, plus the remainder
-    L - L'.  Sliding-sum adds for a width-L' ladder = sum(f - 1 for f in
-    factors); searching all smooth numbers <= L minimises adds + remainder."""
+    """Min-cost 2/3/5-smooth decomposition: the smooth L' <= L (returned as
+    its factor list, plus the remainder L - L') minimising total sliding-sum
+    adds = sum(f - 1 for f in factors) + (L - L').  Note this is NOT simply
+    the largest smooth L' <= L — e.g. L=26 picks 24 (cost 6+2) over 25
+    (cost 8+1)."""
     best = (L - 1, [], L)  # (adds, factors, remainder) — all-direct fallback
     for lp in range(L, 0, -1):
         m, factors = lp, []
