@@ -110,6 +110,13 @@ def _ls_tiled_kernel(h_ref,
         c.wait()
 
     hreg = h_ref[0, 0]
+    # y-border flags (1.0 = the pad rows on that side are synthetic and the
+    # global border rules apply; 0.0 = they are REAL neighbour rows from a
+    # shard_map halo exchange and must evolve as plain stale-halo data, like
+    # hs_tiled's).  Traced scalars so one compiled kernel serves every device
+    # position in an SPMD program.
+    top_border = h_ref[0, 1]
+    bot_border = h_ref[0, 2]
     iix = iix_b[:]
     iiy = iiy_b[:]
     ii = ii_b[:]
@@ -124,9 +131,9 @@ def _ls_tiled_kernel(h_ref,
         lax.broadcasted_iota(jnp.int32, (sh, w), 0) + row0
     )
     col = lax.broadcasted_iota(jnp.int32, (sh, w), 1)
-    in_img = jnp.logical_and(row >= pad, row < pad + img_h).astype(jnp.float32)
-    above = (row < pad).astype(jnp.float32)   # only non-empty on stripe 0
-    below = (row >= pad + img_h).astype(jnp.float32)  # only on the last stripe
+    above = (row < pad).astype(jnp.float32) * top_border   # stripe 0 only
+    below = (row >= pad + img_h).astype(jnp.float32) * bot_border  # last stripe
+    in_img = 1.0 - above - below
     col_first = (col == 0).astype(jnp.float32)
     col_last = (col == w - 1).astype(jnp.float32)
 
@@ -220,7 +227,7 @@ def _launch(h_arr, fields_p, up, vp, t_iters: int, bh: int, pad: int,
                 n_stripes=n_stripes, img_h=img_h),
         grid=(n_stripes,),
         out_shape=(field(), field(), field(), field()),
-        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)] + [hbm] * 10,
+        in_specs=[pl.BlockSpec((1, 3), memory_space=pltpu.SMEM)] + [hbm] * 10,
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[buf() for _ in range(10)] + [pltpu.SemaphoreType.DMA((10,))],
         interpret=interpret,
@@ -249,7 +256,12 @@ def liu_shen_iterate_pallas_tiled(h_reg, fields, u0, v0, max_iter: int = 60,
         raise ValueError(f"stripe height {bh} invalid for shape {(h, w)}, "
                          f"t_block {t_block}")
     npix = jnp.float32(h * w)
-    h_arr = jnp.asarray(h_reg, jnp.float32).reshape(1, 1)
+    # single-device solve: both y borders are global (flags 1.0) — identical
+    # masks to the pre-flag kernel
+    h_arr = jnp.stack([
+        jnp.asarray(h_reg, jnp.float32),
+        jnp.float32(1.0), jnp.float32(1.0),
+    ]).reshape(1, 3)
 
     pad_y = lambda z: jnp.pad(z.astype(jnp.float32), ((t_block, t_block), (0, 0)),
                               mode="edge")

@@ -162,9 +162,43 @@ def hs_solve_sharded_tblocked(mesh, im1, im2, alpha, niter, u0, v0,
     return run(im1, im2, u0, v0, niter, t_block)
 
 
-def hs_solve_sharded(mesh, im1, im2, alpha, niter, u0, v0):
+def _hs_sharded_impl(mesh, shape, t_block: int = 20,
+                     interpret: bool = False) -> str:
+    """Sharded dispatch: run the validated hs_tiled Pallas kernel on every
+    device's local tile (parallel/sharded_pallas.py) when the backend policy
+    and tile shape allow; XLA stencil body otherwise.  Mirrors the
+    single-chip models.horn_schunck._pick_impl contract."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+    from opticalflow_ri_tpu.parallel.sharded_pallas import hs_shard_kernel_supported
+
+    my = mesh.shape["y"]
+    mx = mesh.shape["x"]
+    h, w = shape[-2], shape[-1]
+    if (
+        pallas_default_on()
+        and is_validated("hs_tiled")
+        and h % my == 0
+        and w % mx == 0
+        and hs_shard_kernel_supported(h // my, w // mx, t_block, interpret)
+    ):
+        return "pallas_tiled"
+    return "xla"
+
+
+def hs_solve_sharded(mesh, im1, im2, alpha, niter, u0, v0, impl: str = "auto",
+                     t_block: int = 20, interpret: bool = False):
     """Spatially-sharded Horn-Schunck; same numerics as models.horn_schunck.
-    Arrays are (H, W), sharded over ('y', 'x')."""
+    Arrays are (H, W), sharded over ('y', 'x').  ``impl="auto"`` dispatches
+    to the per-device Pallas kernel path when supported (multi-chip runs keep
+    the single-chip kernel wins instead of falling back to XLA stencils)."""
+    if impl == "auto":
+        impl = _hs_sharded_impl(mesh, im1.shape, t_block, interpret)
+    if impl == "pallas_tiled":
+        from opticalflow_ri_tpu.parallel.sharded_pallas import hs_solve_sharded_kernel
+
+        return hs_solve_sharded_kernel(mesh, im1, im2, alpha, niter, u0, v0,
+                                       t_block=t_block, interpret=interpret)
     spec = P("y", "x")
 
     @partial(jax.jit, static_argnames=("niter",))
@@ -243,9 +277,44 @@ def _ls_body(im1, im2, u0, v0, *, h_reg, max_iter, tol=1e-8):
     return u, v, jnp.where(k > 0, err, 0.0)
 
 
-def liu_shen_solve_sharded(mesh, im1, im2, h_reg, u0, v0, max_iter=60):
+def _ls_sharded_impl(mesh, shape, t_block: int = 20,
+                     interpret: bool = False) -> str:
+    """Sharded dispatch for Liu-Shen: the ls_tiled kernel path shards rows
+    only (x borders are global on every stripe), so eligibility checks the
+    rows-decomposed local tile."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+    from opticalflow_ri_tpu.parallel.sharded_pallas import ls_shard_kernel_supported
+
+    my = mesh.shape["y"]
+    h, w = shape[-2], shape[-1]
+    if (
+        pallas_default_on()
+        and is_validated("ls_tiled")
+        and h % my == 0
+        and ls_shard_kernel_supported(h // my, w, t_block, interpret)
+    ):
+        return "pallas_tiled"
+    return "xla"
+
+
+def liu_shen_solve_sharded(mesh, im1, im2, h_reg, u0, v0, max_iter=60,
+                           impl: str = "auto", t_block: int = 20,
+                           interpret: bool = False):
     """Spatially-sharded Liu-Shen fixed-point solve (internal component
-    convention; see models.liu_shen adapter for the swap)."""
+    convention; see models.liu_shen adapter for the swap).  ``impl="auto"``
+    dispatches to the rows-sharded per-device Pallas kernel when supported."""
+    if impl == "auto":
+        impl = _ls_sharded_impl(mesh, im1.shape, t_block, interpret)
+    if impl == "pallas_tiled":
+        from opticalflow_ri_tpu.parallel.sharded_pallas import (
+            liu_shen_solve_sharded_kernel,
+        )
+
+        return liu_shen_solve_sharded_kernel(
+            mesh, im1, im2, h_reg, u0, v0, max_iter=max_iter,
+            t_block=t_block, interpret=interpret,
+        )
     spec = P("y", "x")
 
     @partial(jax.jit, static_argnames=("max_iter",))

@@ -374,6 +374,56 @@ def main():
         emit(f"ls_tiled_{side}", marginal_ms=m_lt * 1e3,
              speedup_vs_xla=m_lx2 / m_lt)
 
+    # ---------------- shard_map-composed kernels (1-device mesh) ------------
+    # The kernel-sharded path (parallel/sharded_pallas.py) must add no
+    # overhead vs the unsharded kernel when the mesh is trivial: same tiled
+    # kernel per device, halo synthesis replaces jnp.pad.  Parity + marginal
+    # A/B vs the unsharded full solves (multi-device parity is covered by the
+    # CPU-mesh tests and the driver dryrun).
+    if want("sharded_kernel"):
+        from jax.sharding import Mesh
+        from opticalflow_ri_tpu.parallel.sharded_pallas import (
+            hs_solve_sharded_kernel, liu_shen_solve_sharded_kernel,
+        )
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                     ("batch", "y", "x"))
+        side = 2048
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        z = jnp.zeros((side, side), jnp.float32)
+
+        hs_un = lambda a, b: hs_solve(a, b, 1.0, 100, z, z,
+                                      impl="pallas_tiled")
+        hs_sh = lambda a, b: hs_solve_sharded_kernel(mesh1, a, b, 1.0, 100,
+                                                     z, z)
+        signal.alarm(2400)
+        u_s, v_s, _ = hs_sh(s1, s2)
+        u_u, v_u, _ = hs_un(s1, s2)
+        diff = float(jnp.max(jnp.abs(u_s - u_u))) + float(jnp.max(jnp.abs(v_s - v_u)))
+        emit(f"sharded_hs_{side}_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_u, _ = marginal(hs_un, (s1, s2), chain=4)
+        m_s, _ = marginal(hs_sh, (s1, s2), chain=4)
+        emit(f"sharded_hs_{side}", marginal_ms=m_s * 1e3,
+             unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
+
+        ls_un = lambda a, b: liu_shen_solve(a, b, 10.0, z, z, max_iter=60,
+                                            tol=0.0, impl="pallas_tiled")
+        ls_sh = lambda a, b: liu_shen_solve_sharded_kernel(
+            mesh1, a, b, 10.0, z, z, max_iter=60, tol=0.0)
+        signal.alarm(2400)
+        u_s, v_s, _ = ls_sh(s1, s2)
+        u_u, v_u, _ = ls_un(s1, s2)
+        diff = float(jnp.max(jnp.abs(u_s - u_u))) + float(jnp.max(jnp.abs(v_s - v_u)))
+        emit(f"sharded_ls_{side}_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_u, _ = marginal(ls_un, (s1, s2), chain=4)
+        m_s, _ = marginal(ls_sh, (s1, s2), chain=4)
+        emit(f"sharded_ls_{side}", marginal_ms=m_s * 1e3,
+             unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
+
     # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
     # resolved at trace time, and the inner solver jits cache their traces, so
     # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per

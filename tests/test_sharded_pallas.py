@@ -1,0 +1,178 @@
+"""shard_map-composed Pallas kernels: multi-device runs must keep the
+validated single-chip kernels (per-device tiled kernel + T-deep ppermute
+halos) and match the single-device solvers.
+
+Pallas runs in interpreter mode on the CPU mesh; the same composition runs
+compiled on TPU (A/B'd by scripts/measure_pallas.py --only sharded_kernel).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from opticalflow_ri_tpu.parallel.mesh import make_mesh
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh_y8():
+    devs = np.array(jax.devices()[:8]).reshape(1, 8, 1)
+    return Mesh(devs, ("batch", "y", "x"))
+
+
+@needs_devices
+def test_hs_kernel_sharded_matches_single_device():
+    """Per-device hs_tiled kernel + mirror/real halos == unsharded XLA loop,
+    on a 2-D (y=2, x=4) decomposition, including a partial tail block."""
+    from opticalflow_ri_tpu.parallel.sharded_pallas import hs_solve_sharded_kernel
+    from opticalflow_ri_tpu.models.horn_schunck import hs_solve
+
+    mesh = make_mesh(8)  # (1, 2, 4)
+    rng = np.random.default_rng(3)
+    h, w = 64, 512  # local tiles (32, 128)
+    a = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    z = jnp.zeros((h, w), jnp.float32)
+
+    us, vs, es = hs_solve_sharded_kernel(mesh, a, b, 15.0, 25, z, z,
+                                         t_block=8, interpret=True)
+    ur, vr, er = hs_solve(a, b, 15.0, 25, z, z, impl="xla")
+    aee = float(np.mean(np.hypot(np.asarray(us) - np.asarray(ur),
+                                 np.asarray(vs) - np.asarray(vr))))
+    assert aee < 1e-5, aee
+    np.testing.assert_allclose(float(es), float(er), rtol=1e-4)
+
+
+@needs_devices
+def test_hs_kernel_sharded_nonzero_init_and_dispatch():
+    """auto dispatch resolves to the kernel path when the policy is on, and
+    the entry point routes there (no force_xla / XLA stencil body)."""
+    import opticalflow_ri_tpu.parallel.sharded as sharded
+    import opticalflow_ri_tpu.ops.pallas as pallas_pkg
+
+    mesh = make_mesh(8)
+    assert sharded._hs_sharded_impl(mesh, (64, 512), 8, interpret=True) == "xla"
+
+    # policy forced on -> kernel path (shape-supported local tiles)
+    orig = pallas_pkg.pallas_default_on
+    pallas_pkg.pallas_default_on = lambda: True
+    try:
+        assert sharded._hs_sharded_impl(
+            mesh, (64, 512), 8, interpret=True) == "pallas_tiled"
+        # unsupported local tile (too small for the halo) falls back
+        assert sharded._hs_sharded_impl(
+            mesh, (16, 512), 8, interpret=True) == "xla"
+    finally:
+        pallas_pkg.pallas_default_on = orig
+
+    # explicit kernel path with a nonzero flow init
+    from opticalflow_ri_tpu.models.horn_schunck import hs_solve
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(0, 255, (64, 512)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 255, (64, 512)).astype(np.float32))
+    u0 = jnp.asarray(rng.uniform(-1, 1, (64, 512)).astype(np.float32))
+    v0 = jnp.asarray(rng.uniform(-1, 1, (64, 512)).astype(np.float32))
+    us, vs, _ = sharded.hs_solve_sharded(mesh, a, b, 10.0, 16, u0, v0,
+                                         impl="pallas_tiled", t_block=8,
+                                         interpret=True)
+    ur, vr, _ = hs_solve(a, b, 10.0, 16, u0, v0, impl="xla")
+    aee = float(np.mean(np.hypot(np.asarray(us) - np.asarray(ur),
+                                 np.asarray(vs) - np.asarray(vr))))
+    assert aee < 1e-5, aee
+
+
+@needs_devices
+def test_ls_kernel_sharded_matches_single_device():
+    """Rows-sharded per-device ls_tiled kernel (border flags select the
+    global nearest/zero rules only on the outermost devices) == unsharded
+    XLA while_loop, with a partial tail block and tol=0 exactness."""
+    from opticalflow_ri_tpu.parallel.sharded_pallas import (
+        liu_shen_solve_sharded_kernel,
+    )
+    from opticalflow_ri_tpu.models.liu_shen import liu_shen_solve
+
+    mesh = _mesh_y8()  # y=8 rows decomposition
+    rng = np.random.default_rng(7)
+    h, w = 128, 128  # local tiles (16, 128)
+    a = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1, 255, (h, w)).astype(np.float32))
+    z = jnp.zeros((h, w), jnp.float32)
+
+    us, vs, es = liu_shen_solve_sharded_kernel(
+        mesh, a, b, 10.0, z, z, max_iter=10, tol=0.0, t_block=4,
+        interpret=True)
+    ur, vr, er = liu_shen_solve(a, b, 10.0, z, z, max_iter=10, tol=0.0,
+                                impl="xla")
+    np.testing.assert_allclose(np.asarray(us), np.asarray(ur),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(es), float(er), rtol=1e-3)
+
+
+@needs_devices
+def test_ls_sharded_dispatch_routes_to_kernel():
+    import opticalflow_ri_tpu.parallel.sharded as sharded
+    import opticalflow_ri_tpu.ops.pallas as pallas_pkg
+
+    mesh = _mesh_y8()
+    assert sharded._ls_sharded_impl(mesh, (128, 128), 4, interpret=True) == "xla"
+    orig = pallas_pkg.pallas_default_on
+    pallas_pkg.pallas_default_on = lambda: True
+    try:
+        assert sharded._ls_sharded_impl(
+            mesh, (128, 128), 4, interpret=True) == "pallas_tiled"
+    finally:
+        pallas_pkg.pallas_default_on = orig
+
+
+@needs_devices
+def test_auto_pipeline_kernel_sharded_route(piv_pair_medium):
+    """auto_sharded_pipeline routes eligible single-level HS configs to the
+    kernel-sharded path (NOT force_xla GSPMD) and matches the single-device
+    compiled pipeline."""
+    import opticalflow_ri_tpu.ops.pallas as pallas_pkg
+    from opticalflow_ri_tpu.parallel import auto
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    im1, im2, _, _ = piv_pair_medium
+    mesh = make_mesh(8)
+    orig = pallas_pkg.pallas_default_on
+    pallas_pkg.pallas_default_on = lambda: True
+    entered = []
+    orig_force = pallas_pkg.force_xla
+
+    class _Recorder:
+        def __init__(self):
+            self._ctx = orig_force()
+
+        def __enter__(self):
+            entered.append(True)
+            return self._ctx.__enter__()
+
+        def __exit__(self, *a):
+            return self._ctx.__exit__(*a)
+
+    try:
+        assert auto.hs_kernel_sharded_eligible(
+            "HS_Fs3_4", mesh, np.shape(im1), interpret=True)
+        assert not auto.hs_kernel_sharded_eligible(
+            "HS_Fs3_4_PyrLvls2", mesh, np.shape(im1), interpret=True)
+
+        pallas_pkg.force_xla = _Recorder
+        fn = auto.auto_sharded_pipeline("HS_Fs3_4", mesh, kernel_interpret=True)
+        u8, v8 = fn(jnp.asarray(im1), jnp.asarray(im2))
+        assert not entered, "eligible HS config still routed through force_xla"
+    finally:
+        pallas_pkg.pallas_default_on = orig
+        pallas_pkg.force_xla = orig_force
+
+    u1, v1 = compiled_pipeline("HS_Fs3_4")(jnp.asarray(im1), jnp.asarray(im2))
+    aee = float(np.mean(np.hypot(np.asarray(u8) - np.asarray(u1),
+                                 np.asarray(v8) - np.asarray(v1))))
+    assert aee < 1e-5, aee
