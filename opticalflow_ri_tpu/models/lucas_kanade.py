@@ -94,6 +94,25 @@ def _lk_build_impl(h: int, w: int, max_shift: int) -> bool:
     return lk_build_supports_pallas(h, w, max_shift)
 
 
+def _lk_striped_impl(h: int, w: int, max_shift: int) -> bool:
+    """Whether the default "pallas" path stripe-stages build+GN over row
+    blocks (images whose whole plane stack would be GBs of HBM — e.g. 2048^2,
+    where the XLA ladder build + global stack round trip measured 79 ms).
+    Composition of the two validated kernels at stripe sizes; gated on its
+    own registry entry (new (kernel, size) pairs must be hardware-probed
+    first, CLAUDE.md)."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not (is_validated("lk_build") and is_validated("lk_gn")
+            and is_validated("lk_striped")):
+        return False
+    from opticalflow_ri_tpu.ops.pallas.lk_build import lk_striped_height
+    from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
+
+    return (lk_striped_height(h, w, max_shift) is not None
+            and lk_gn_supports_pallas(h, w, max_shift))
+
+
 def lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
                     hierarchical: bool = False):
     """Shift planes: T[s] = wsum(shift_s(J) * g)  for s in [-R, R]^2, built by
@@ -276,6 +295,52 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     slab = lax.dynamic_slice(
         jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
     )
+
+    if impl == "pallas_striped" or (
+        impl == "pallas" and not _lk_build_impl(h, w, R)
+        and _lk_striped_impl(h, w, R)
+    ):
+        # Stripe-staged build+GN for large images: build one row stripe's
+        # shift planes with the band-resident Pallas kernel, run ALL GN
+        # iterations for that stripe (iterations are per-pixel independent,
+        # so striping is exact), then move on — only one stripe's stack
+        # (~0.5 GB at 2048^2) ever exists in HBM, vs the ~4 GB whole-image
+        # stack the global build round-trips (ref: the CL kernel never
+        # stores planes at all, src/pyrlkDenseLargeW.cl:304-669).
+        from opticalflow_ri_tpu.ops.pallas.lk_build import (
+            lk_build_planes_pallas, lk_striped_height,
+        )
+        from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
+
+        stripe = lk_striped_height(h, w, R)
+        if stripe is None:
+            raise ValueError(
+                f"no VMEM-feasible stripe for ({h}, {w}), R={R} — use "
+                f"impl='pallas_xlabuild' or 'xla'")
+        jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        px0 = jj + u0 - hw
+        py0 = ii + v0 - hw
+        parts = []
+        for s0 in range(0, h, stripe):
+            slab_s = lax.dynamic_slice(
+                slab, (s0, 0), (stripe + _GRID - 1 + 2 * R, slab.shape[1]))
+            g_s = lax.dynamic_slice(
+                g_pair, (0, s0, 0), (2, stripe + _GRID - 1, core_w))
+            t1s, t2s = lk_build_planes_pallas(slab_s, g_s, hw, R,
+                                              runs_y, runs_x)
+            sl = slice(s0, s0 + stripe)
+            parts.append(lk_gn_iterate_pallas(
+                t1s, t2s, ia11[sl], ia12[sl], ia22[sl], c1[sl], c2[sl],
+                ok[sl], px0[sl], py0[sl], n_iter, R, hw,
+                row0=s0, img_h=h, img_w=w,
+            ))
+        px = jnp.concatenate([p[0] for p in parts], axis=0)
+        py = jnp.concatenate([p[1] for p in parts], axis=0)
+        status = jnp.concatenate([p[2] for p in parts], axis=0)
+        return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
+                          hw, win, wx, wy, pad, h, w, calc_err)
+
     if impl == "pallas_build" or (impl == "pallas" and _lk_build_impl(h, w, R)):
         # band-resident Pallas build: intermediates never leave VMEM
         from opticalflow_ri_tpu.ops.pallas.lk_build import lk_build_planes_pallas

@@ -85,6 +85,24 @@ def _build_band(h: int, w: int, nshift: int) -> int | None:
     return None
 
 
+def lk_striped_height(h: int, w: int, max_shift: int) -> int | None:
+    """Stripe height for the stripe-staged build+GN path (large images whose
+    whole-image plane stack would be GBs of HBM): the build kernel runs per
+    row stripe with an efficient internal band (>= 128 — below that the
+    x-pass halo recompute loses to XLA, lk_build_band_sweep), the GN kernel
+    consumes each stripe's stack, and only one stripe's stack (~0.5 GB at
+    2048^2) ever exists in HBM.  Prefers the tallest stripe (fewer launches,
+    lower across-stripe slab re-read)."""
+    nshift = 2 * max_shift + 1
+    for stripe in (512, 256, 128):
+        if h % stripe:
+            continue
+        band = _build_band(stripe, w, nshift)
+        if band is not None and band >= 128:
+            return stripe
+    return None
+
+
 def lk_build_supports_pallas(h: int, w: int, max_shift: int) -> bool:
     """Bands must tile h; the slab block, gradient stack, output blocks and
     band intermediates must fit VMEM together."""

@@ -45,15 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 _STEP_EPS = 0.01
 
 
-def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
-                  c2_ref, act0_ref, px0_ref, py0_ref, px_out, py_out,
+def _lk_gn_kernel(row0_ref, t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref,
+                  c1_ref, c2_ref, act0_ref, px0_ref, py0_ref, px_out, py_out,
                   status_out, *, n_iter: int, R: int, hw: int, h: int, w: int,
                   band: int):
     # h/w are the TRUE image dims (for the out-of-bounds bail); array shapes
     # may be zero-padded up to the (8, 128) tile (wp below) — padded pixels
     # run the loop on zero fields and are cropped by the caller.
+    # row0 (SMEM scalar) is the GLOBAL image row of this call's first row —
+    # nonzero when the caller stripe-stages the solve over row blocks
+    # (px/py stay in global window-origin coordinates, so the oob bail and
+    # the v = py + hw - ii update need the true row index).
     i = pl.program_id(0)
-    y0 = i * band
+    y0 = i * band + row0_ref[0, 0]
     wp = px0_ref.shape[-1]
 
     nshift = 2 * R + 1
@@ -65,7 +69,7 @@ def _lk_gn_kernel(t1_ref, t2_ref, ia11_ref, ia12_ref, ia22_ref, c1_ref,
 
     # Mosaic rejects float iota; build int32 and convert.
     jj = lax.broadcasted_iota(jnp.int32, (band, wp), 1).astype(jnp.float32)
-    ii = lax.broadcasted_iota(jnp.int32, (band, wp), 0).astype(jnp.float32) + y0
+    ii = (lax.broadcasted_iota(jnp.int32, (band, wp), 0) + y0).astype(jnp.float32)
 
     def gn_body(_, state):
         # all carries are f32 vectors (incl. the active/status masks):
@@ -144,18 +148,26 @@ def lk_gn_supports_pallas(h: int, w: int, max_shift: int) -> bool:
     return t_block_bytes <= 20 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("n_iter", "R", "hw", "band", "interpret"))
+@partial(jax.jit, static_argnames=("n_iter", "R", "hw", "band", "interpret",
+                                   "img_h", "img_w"))
 def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
                          n_iter: int, R: int, hw: int, band: int = 8,
-                         interpret: bool = False):
+                         interpret: bool = False, row0: int = 0,
+                         img_h: int | None = None, img_w: int | None = None):
     """Run the LK Gauss-Newton loop; returns (px, py, status).
 
     ``t1``/``t2`` are (nshift^2, H, W) shift-plane stacks; the remaining
     fields are (H, W).  ``ok`` is the non-singular-window mask (bool).
     Arbitrary shapes: inputs are zero-padded to the f32 (8, 128) tile and the
     outputs cropped — padded pixels solve on zero fields, which is harmless.
+    ``row0``/``img_h``/``img_w``: when the caller stripe-stages the solve,
+    the stack covers global rows [row0, row0 + H) of an (img_h, img_w) image
+    and px/py stay in global coordinates (row0 is an SMEM scalar, so stripes
+    share one compiled kernel).
     """
     s_dim, h, w = t1.shape
+    img_h = h if img_h is None else img_h
+    img_w = w if img_w is None else img_w
     ph, pw = _align2(h, w)
     pad2 = lambda x: jnp.pad(x, ((0, ph), (0, pw)))
     pad3 = lambda x: jnp.pad(x, ((0, 0), (0, ph), (0, pw)))
@@ -168,15 +180,18 @@ def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
     band2 = pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     bandt = pl.BlockSpec((s_dim, band, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
-        partial(_lk_gn_kernel, n_iter=n_iter, R=R, hw=hw, h=h, w=w, band=band),
+        partial(_lk_gn_kernel, n_iter=n_iter, R=R, hw=hw, h=img_h, w=img_w,
+                band=band),
         out_shape=(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         grid=(hp // band,),
-        in_specs=[bandt, bandt] + [band2] * 8,
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM), bandt, bandt]
+        + [band2] * 8,
         out_specs=(band2, band2, band2),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -188,6 +203,7 @@ def lk_gn_iterate_pallas(t1, t2, ia11, ia12, ia22, c1, c2, ok, px0, py0,
         ),
         interpret=interpret,
     )(
+        row0_arr,
         pad3(t1.astype(jnp.float32)), pad3(t2.astype(jnp.float32)),
         f32(ia11), f32(ia12), f32(ia22), f32(c1), f32(c2),
         pad2(ok.astype(jnp.float32)), f32(px0), f32(py0),

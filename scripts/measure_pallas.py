@@ -374,6 +374,34 @@ def main():
         emit(f"ls_tiled_{side}", marginal_ms=m_lt * 1e3,
              speedup_vs_xla=m_lx2 / m_lt)
 
+    # ---------------- LK stripe-staged build+GN (2048^2) --------------------
+    # Large-image path: per-stripe Pallas build feeding per-stripe GN, only
+    # one stripe's plane stack in HBM — vs the current default at 2048^2
+    # (XLA ladder build + whole ~4 GB stack round trip, 79 ms round-3).
+    if want("lk_striped"):
+        from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+        side = 2048
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        z = jnp.zeros((side, side), jnp.float32)
+
+        lk_cur = lambda a, b: lk_dense_solve(a, b, z, z, impl="pallas_xlabuild")
+        lk_str = lambda a, b: lk_dense_solve(a, b, z, z, impl="pallas_striped")
+        signal.alarm(2400)
+        u_c, v_c, _ = lk_cur(s1, s2)
+        signal.alarm(2400)
+        u_s, v_s, _ = lk_str(s1, s2)
+        diff = float(jnp.max(jnp.abs(u_s - u_c))) + float(jnp.max(jnp.abs(v_s - v_c)))
+        emit("lk_striped_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_c, _ = marginal(lk_cur, (s1, s2), chain=4)
+        m_s, _ = marginal(lk_str, (s1, s2), chain=4)
+        emit("lk_striped_2048", marginal_ms=m_s * 1e3,
+             xlabuild_marginal_ms=m_c * 1e3, speedup_vs_xlabuild=m_c / m_s,
+             mpix_per_s=side * side / 1e6 / m_s)
+
     # ---------------- shard_map-composed kernels (1-device mesh) ------------
     # The kernel-sharded path (parallel/sharded_pallas.py) must add no
     # overhead vs the unsharded kernel when the mesh is trivial: same tiled

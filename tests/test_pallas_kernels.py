@@ -637,3 +637,41 @@ def test_um_channel_pallas_matches_xla_interpret():
     scale = float(jnp.max(jnp.abs(m_ref)))
     np.testing.assert_allclose(
         np.asarray(m_pal), np.asarray(m_ref), atol=2e-6 * scale, rtol=1e-4)
+
+
+def test_lk_striped_build_gn_matches_xla_interpret(monkeypatch):
+    """Stripe-staged build+GN (large-image path: per-stripe Pallas build ->
+    per-stripe GN with global row0/img dims through the SMEM scalar) == the
+    XLA path.  Stripe height forced small so multiple stripes exercise the
+    row0 != 0 coordinate handling."""
+    import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
+    import opticalflow_ri_tpu.ops.pallas.lk_build as lkb
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    rng = np.random.default_rng(9)
+    im1 = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (96, 128)).astype(np.float32)
+    )
+    u0 = jnp.full((96, 128), 0.25, jnp.float32)
+    v0 = jnp.full((96, 128), -0.5, jnp.float32)
+
+    u_x, v_x, s_x = lk_dense_solve(im1, im2, u0, v0, max_shift=2, impl="xla")
+
+    orig = lki.lk_gn_iterate_pallas
+    monkeypatch.setattr(
+        lki, "lk_gn_iterate_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    orig_b = lkb.lk_build_planes_pallas
+    monkeypatch.setattr(
+        lkb, "lk_build_planes_pallas",
+        lambda *a, **k: orig_b(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(lkb, "lk_striped_height", lambda h, w, r: 32)
+    u_p, v_p, s_p = lk_dense_solve(im1, im2, u0, v0, max_shift=2,
+                                   impl="pallas_striped")
+
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
