@@ -121,7 +121,7 @@ def box_filter5(m, ksize_half: int):
     return out * jnp.float32(1.0 / (2 * ksize_half + 1) ** 2)
 
 
-def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 6):
+def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 5):
     """Assemble the 5-plane normal-equation field M
     (ref: optical_flow_farneback.cl:256-348).
 
@@ -131,6 +131,12 @@ def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 6):
     beats TPU gathers ~3x.  Flows beyond that range (outside this library's
     <=4 px calibrated regime) would sample clamped; pass
     ``sample_max_shift=None`` for the exact gather path.
+
+    Default R=5 since round 4 (was 6): flows <= 4.99 px still sample exactly
+    (the tent needs shifts floor(d) and floor(d)+1), transient clamps moved
+    the bundled-pair solve by <= 4.5e-5 px vs the exact R=12 sampler, and the
+    contraction shrinks 169 -> 121 shifts (-28%).  Pass 6 to restore the old
+    envelope.
     """
     _, rows, cols = r0.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)
@@ -213,7 +219,7 @@ def assemble_m(s, r0, flowx, flowy, inside):
     ])
 
 
-def _um_impl(shape, sample_max_shift=6) -> str:
+def _um_impl(shape, sample_max_shift=5) -> str:
     """Static dispatch for update_matrices: the Pallas VMEM-resident kernel
     (measured 11x the XLA contraction on a v5e, bit-identical —
     scripts/pallas_ab_results.json) when the backend policy allows, else XLA."""
@@ -236,7 +242,7 @@ def _um_impl(shape, sample_max_shift=6) -> str:
     return "xla"
 
 
-def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6,
+def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
                              impl: str = "auto"):
     """update_matrices with static impl selection (trace-time env + shape)."""
     if impl == "auto":
@@ -266,6 +272,32 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=6,
         return update_matrices_channel_pallas(flowx, flowy, r0, r1,
                                               sample_max_shift)
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
+
+
+def _window_blur_spec(window_size: int, use_gaussian: bool):
+    """(taps, border mode, post-scale) of the per-iteration window blur."""
+    if use_gaussian:
+        return _blur_kernel(window_size, window_size / 2 * 0.3), "mirror", 1.0
+    half = window_size // 2
+    return (np.ones(2 * half + 1, np.float32), "nearest",
+            1.0 / (2 * half + 1) ** 2)
+
+
+def _fb_fused_impl(impl: str, shape, window_size: int,
+                   sample_max_shift: int = 5) -> bool:
+    """Whether the iteration loop runs as ONE whole-resident Pallas launch
+    (ops/pallas/fb_fused.py) instead of 2*n_iters banded-kernel launches."""
+    if impl == "pallas_fused":
+        return True
+    if impl != "pallas":
+        return False
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not is_validated("fb_fused"):
+        return False
+    from opticalflow_ri_tpu.ops.pallas.fb_fused import fb_fused_supports_pallas
+
+    return fb_fused_supports_pallas(shape, sample_max_shift, window_size)
 
 
 def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
@@ -372,11 +404,22 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
             poly_n, poly_sigma,
         )
 
-        m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
-        for i in range(n_iters):
-            fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian, impl=impl)
-            if i < n_iters - 1:
-                m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
+        if _fb_fused_impl(impl, ra.shape, window_size):
+            # whole iteration loop in ONE Pallas launch, everything
+            # VMEM-resident (same um-first reassociation of the reference
+            # schedule — see ops/pallas/fb_fused.py)
+            from opticalflow_ri_tpu.ops.pallas.fb_fused import fb_fused_pallas
+
+            k, kmode, kscale = _window_blur_spec(window_size, use_gaussian)
+            fx, fy = fb_fused_pallas(ra, rb, fx, fy, n_iters,
+                                     tuple(float(x) for x in k), kmode, kscale)
+        else:
+            m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
+            for i in range(n_iters):
+                fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian,
+                                             impl=impl)
+                if i < n_iters - 1:
+                    m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
         prev = (fx, fy)
 
     return prev

@@ -14,8 +14,10 @@ blend, border-attenuation ramp, normal-equation products —
 ref: src/optical_flow_farneback.cl:256-348) is fused into the same pass so
 the intermediate sampled field never exists in HBM.
 
-Numerics are identical to the XLA path by construction: the same clipped
-tent weights, the same inside/outside branches, the same f32 ops.
+Numerics: the same clipped tent weights and inside/outside branches as the
+XLA path; the contraction applies the weights separably with sx outermost
+(lane-rotate hoisting — see the kernel comment), so parity is to f32
+round-off of the sampled field rather than bit-identical.
 """
 
 from __future__ import annotations
@@ -51,16 +53,25 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
 
     # One aligned VMEM load covering every y-shift (Mosaic requires dynamic
     # sublane-dim offsets to be 8-aligned; y0 = i*band is, y0+sy is not), then
-    # static in-register slices per shift.  Same summation order as the XLA
-    # path (sy-major, sx-minor) keeps results bit-identical.
+    # static in-register slices per shift.  sx is the OUTER loop so each of
+    # the nshift lane-dim slices (a cross-lane rotate of the whole 5-channel
+    # slab — the expensive op class here) happens once, with the nshift
+    # sublane slices (cheap) inside; tent weights are applied separably
+    # (sum_sx wx * (sum_sy wy * win)).  This is nshift lane rotates instead
+    # of the round-3 kernel's nshift^2, at the cost of the f32 summation
+    # order — parity with the XLA path is to f32 round-off (see the um_pallas
+    # A/B stages), no longer bit-identical.
     win = r1p_ref[:, pl.ds(y0, band + nshift - 1), :]
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+           for sy in range(nshift)]
     s = jnp.zeros((5, band, cp), jnp.float32)
-    for sy in range(nshift):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
-        rows_s = win[:, sy : sy + band, :]
-        for sx in range(nshift):
-            w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
-            s = s + w[None] * rows_s[:, :, sx : sx + cp]
+    for sx in range(nshift):
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+        cols_s = win[:, :, sx : sx + cp]
+        t = jnp.zeros((5, band, cp), jnp.float32)
+        for sy in range(nshift):
+            t = t + wys[sy][None] * cols_s[:, sy : sy + band, :]
+        s = s + wx[None] * t
 
     # global pixel coordinates of this band
     # Mosaic rejects float iota; build int32 and convert.
@@ -133,7 +144,7 @@ def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
-def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 6,
+def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 5,
                            band: int = 32, interpret: bool = False):
     """Drop-in replacement for models.farneback.update_matrices (dense path)."""
     R = int(sample_max_shift)
@@ -231,7 +242,7 @@ def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
 def update_matrices_channel_pallas(flowx, flowy, r0, r1,
-                                   sample_max_shift: int = 6,
+                                   sample_max_shift: int = 5,
                                    band: int = 64, interpret: bool = False):
     """updateMatrices for fields beyond all-channel VMEM residency:
     channel-blocked Pallas tent sampling + the shared XLA M assembly

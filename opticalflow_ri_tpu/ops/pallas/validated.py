@@ -30,6 +30,10 @@ VALIDATED_KERNELS = {
     # dense-LK band-resident ladder shift-plane build (bit-identical,
     # 1.37x the XLA ladder build end-to-end @512^2)
     "lk_build": ("lk_build_compiled", "lk_build_pallas"),
+    # dense-LK stripe-staged build+GN for large images (bit-identical,
+    # 2.57x the XLA-ladder-build path @2048^2: 30.3 ms, 138.5 Mpix/s —
+    # only one stripe's plane stack ever exists in HBM)
+    "lk_striped": ("lk_striped_compiled", "lk_striped_2048"),
     # Horn-Schunck whole-solve VMEM-resident kernel (2.56x @512^2)
     "hs_whole": ("hs_whole_pallas_compiled", "hs_whole_pallas_512"),
     # Horn-Schunck temporal-blocked tiled kernel (4.45x @2048^2)

@@ -7,10 +7,15 @@ configs (they overlap) — must execute on the real TPU with the default
 (Pallas-enabled) dispatch.  Round 2 shipped with only 4 configs e2e-checked
 and an unproven kernel crashed the other half of the grid.
 
-    PALLAS_AXON_REMOTE_COMPILE=1 timeout 3600 python3 scripts/e2e_check.py \
-        2>&1 | tee scripts/e2e_check.log
+    PALLAS_AXON_REMOTE_COMPILE=1 timeout 3600 python3 scripts/e2e_check.py
 
 Exits non-zero if ANY config fails.  Pass config names as argv to subset.
+
+The script owns its log: every record is appended to scripts/e2e_check.log
+directly (tee is no longer part of the ritual — round 3's final snapshot
+committed a 147-byte stub because an aborted tee overwrote the green log),
+and before exiting 0 the script re-reads the log and refuses success unless
+it contains the per-config records and the final summary line.
 """
 
 import json
@@ -21,6 +26,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "e2e_check.log")
+
+
+def record(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
 
 
 def force(*xs):
@@ -53,15 +67,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     t0 = time.perf_counter()
     assert float(jnp.sum(jnp.ones((8, 128)))) == 1024.0
-    print(json.dumps({"device": str(jax.devices()[0]),
-                      "claim_s": round(time.perf_counter() - t0, 1)}), flush=True)
+    with open(LOG, "w") as f:  # fresh log for this run
+        f.write("")
+    record({"device": str(jax.devices()[0]),
+            "claim_s": round(time.perf_counter() - t0, 1)})
 
     from opticalflow_ri_tpu.utils.io import load_image
     from opticalflow_ri_tpu.compile import compiled_pipeline
     from opticalflow_ri_tpu.configs import CONFIGS
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
 
-    print(json.dumps({"pallas_default_on": pallas_default_on()}), flush=True)
+    record({"pallas_default_on": pallas_default_on()})
 
     p = "/root/reference/examples/testImages/Bits08/Ni06/parabolic01_%d.tif"
     d1 = jnp.asarray(load_image(p % 0))
@@ -74,21 +90,32 @@ def main():
             fn = compiled_pipeline(cfg)
             m, t1 = marginal(fn, (d1, d2))
             u, v = fn(d1, d2)
-            print(json.dumps({
+            record({
                 "config": cfg, "marginal_ms": round(m * 1e3, 3),
                 "latency_s": round(t1, 3),
                 "mpix_per_s": round(512 * 512 / 1e6 / m, 1),
                 "u_range": [float(jnp.min(u)), float(jnp.max(u))],
                 "v_range": [float(jnp.min(v)), float(jnp.max(v))],
-            }), flush=True)
+            })
         except Exception as e:
             failed.append(cfg)
-            print(json.dumps({"config": cfg, "error": repr(e)}), flush=True)
+            record({"config": cfg, "error": repr(e)})
 
-    print(json.dumps({"summary": f"{len(names) - len(failed)}/{len(names)} ok",
-                      "failed": failed}), flush=True)
+    record({"summary": f"{len(names) - len(failed)}/{len(names)} ok",
+            "failed": failed})
     if failed:
         sys.exit(1)
+
+    # an aborted run must not look like a pass: re-read the log this run
+    # wrote and demand one record per config plus the summary line
+    with open(LOG) as f:
+        lines = [json.loads(x) for x in f.read().splitlines() if x.strip()]
+    n_cfg = sum(1 for x in lines if "config" in x)
+    n_sum = sum(1 for x in lines if "summary" in x)
+    if n_cfg < len(names) or n_sum != 1:
+        print(json.dumps({"error": f"log incomplete: {n_cfg}/{len(names)} "
+                          f"config records, {n_sum} summaries"}), flush=True)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

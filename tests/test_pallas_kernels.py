@@ -631,7 +631,8 @@ def test_um_channel_pallas_matches_xla_interpret():
     fx = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
     fy = jnp.asarray(rng.uniform(-5, 5, (64, 128)).astype(np.float32))
 
-    m_ref = update_matrices(fx, fy, ra, rb)
+    m_ref = update_matrices(fx, fy, ra, rb, 6)  # same R on both sides — the
+    # +-5 px test flows straddle the R=5 default's clamp boundary
     m_pal = update_matrices_channel_pallas(fx, fy, ra, rb, 6, band=16,
                                            interpret=True)
     scale = float(jnp.max(jnp.abs(m_ref)))
@@ -675,3 +676,43 @@ def test_lk_striped_build_gn_matches_xla_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_fb_fused_loop_matches_unfused_interpret(monkeypatch):
+    """Whole-resident fused Farneback iteration loop (one launch: um ->
+    in-kernel border pad -> separable blur -> solve, fori over iterations)
+    == the unfused XLA sequence, for both window-blur modes."""
+    from opticalflow_ri_tpu.models.farneback import (
+        poly_expansion, update_matrices, _blur_flow_dispatch,
+        _window_blur_spec,
+    )
+    import opticalflow_ri_tpu.ops.pallas.fb_fused as fbf
+
+    rng = np.random.default_rng(13)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (64, 128)).astype(np.float32))
+    r0 = poly_expansion(im1, 7, 1.5)
+    r1 = poly_expansion(im2, 7, 1.5)
+    z = jnp.zeros((64, 128), jnp.float32)
+
+    for use_gaussian in (True, False):
+        fx, fy = z, z
+        m = update_matrices(fx, fy, r0, r1)
+        for i in range(3):
+            fx, fy = _blur_flow_dispatch(m, 33, use_gaussian, impl="xla")
+            if i < 2:
+                m = update_matrices(fx, fy, r0, r1)
+
+        k, mode, scale = _window_blur_spec(33, use_gaussian)
+        ff, gf = fbf.fb_fused_pallas(r0, r1, z, z, 3,
+                                     tuple(float(x) for x in k), mode, scale,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(ff), np.asarray(fx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(fy),
+                                   rtol=1e-4, atol=1e-4)
+
+    assert fbf.fb_fused_supports_pallas((512, 512), 5, 33)
+    assert not fbf.fb_fused_supports_pallas((1024, 1024), 5, 33)
+    assert not fbf.fb_fused_supports_pallas((500, 700), 5, 33)  # off-tile
