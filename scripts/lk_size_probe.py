@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from bench import time_config
 from opticalflow_ri_tpu.models.lucas_kanade import (
-    lk_dense_solve, _lk_impl, _lk_build_impl)
+    lk_dense_solve, _lk_impl, _lk_build_impl, _lk_striped_impl)
 from opticalflow_ri_tpu.utils.synthetic import particle_image_pair
 
 results = {}
@@ -56,7 +56,8 @@ def main():
         z = jnp.zeros((side, side), jnp.float32)
         impl = _lk_impl(side, side, 5)
         record(f"dispatch_{side}", {"impl": impl,
-                                    "build": _lk_build_impl(side, side, 5)})
+                                    "build": _lk_build_impl(side, side, 5),
+                                    "striped": _lk_striped_impl(side, side, 5)})
 
         def run(impl):
             return jax.jit(lambda a, b, impl=impl: lk_dense_solve(
