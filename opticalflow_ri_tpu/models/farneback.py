@@ -312,18 +312,20 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
         impl == "auto" and pallas_default_on() and is_validated("blur5")
     ):
         from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+            blur5_flow_banded_pallas, blur5_flow_banded_supports,
             blur5_flow_pallas, blur5_flow_supports_pallas,
         )
 
-        if use_gaussian:
-            k = _blur_kernel(window_size, window_size / 2 * 0.3)
-            mode, scale = "mirror", 1.0
-        else:
-            half = window_size // 2
-            k = np.ones(2 * half + 1, np.float32)
-            mode, scale = "nearest", 1.0 / (2 * half + 1) ** 2
+        k, mode, scale = _window_blur_spec(window_size, use_gaussian)
         if blur5_flow_supports_pallas(m.shape, len(k)):
             return blur5_flow_pallas(m, tuple(float(w) for w in k), mode, scale)
+        # beyond whole-M VMEM residency: banded DMA-slab variant
+        # (bit-identical to the whole kernel; 2048^2 hardware A/B in
+        # pallas_ab_results.json:blur5_banded_*)
+        if is_validated("blur5_banded") and blur5_flow_banded_supports(
+                m.shape, len(k)):
+            return blur5_flow_banded_pallas(m, tuple(float(w) for w in k),
+                                            mode, scale)
 
     if use_gaussian:
         m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)

@@ -126,3 +126,98 @@ def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
         interpret=interpret,
     )(mp.astype(jnp.float32))
     return fxp[:rows, :cols], fyp[:rows, :cols]
+
+
+# ---------------------------------------------------------------------------
+# Banded variant for fields beyond whole-M VMEM residency (2048^2+)
+# ---------------------------------------------------------------------------
+
+def _blur5_flow_banded_kernel(mp_hbm, fx_out, fy_out, slab, sem, *, taps,
+                              band: int, w: int, half: int, scale: float):
+    """One row band: DMA a (5, band+2*half, Wp) slab of the pre-padded M
+    from HBM (BlockSpec blocks cannot overlap, and bands need their
+    neighbours' halo rows — the hs_tiled manual-DMA pattern), run both
+    separable passes and the 2x2 solve in VMEM, write only the flow band."""
+    i = pl.program_id(0)
+    n = len(taps)
+
+    cp = pltpu.make_async_copy(
+        mp_hbm.at[:, pl.ds(i * band, band + 2 * half), :], slab, sem
+    )
+    cp.start()
+    cp.wait()
+
+    src = slab[:]
+    tmp = None
+    for j, wgt in enumerate(taps):
+        term = src[:, j : j + band, :] * jnp.float32(wgt)
+        tmp = term if tmp is None else tmp + term
+    blur = None
+    for j, wgt in enumerate(taps):
+        term = tmp[:, :, j : j + w] * jnp.float32(wgt)
+        blur = term if blur is None else blur + term
+    if scale != 1.0:
+        blur = blur * jnp.float32(scale)
+
+    g11, g12, g22, h1, h2 = blur[0], blur[1], blur[2], blur[3], blur[4]
+    det_inv = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
+    fx_out[:] = (g11 * h2 - g12 * h1) * det_inv
+    fy_out[:] = (g22 * h1 - g12 * h2) * det_inv
+
+
+def blur5_flow_banded_supports(shape, ksize: int, band: int = 64) -> bool:
+    rows, cols = shape[-2], shape[-1]
+    half = ksize // 2
+    if rows % 8 or cols % 128 or rows % band:
+        return False
+    wp = cols + 2 * half + (-(cols + 2 * half)) % 128
+    # slab + tmp + blur + flow bands, double-buffered headroom
+    need = (5 * (band + 2 * half) * wp + 2 * 5 * band * wp + 4 * band * wp) * 4
+    return need <= 48 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band",
+                                   "interpret"))
+def blur5_flow_banded_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
+                             band: int = 64, interpret: bool = False):
+    """Banded blur5+updateFlow for large fields: same contract as
+    blur5_flow_pallas, M streamed through VMEM one (band + window) slab at a
+    time instead of resident whole."""
+    taps = tuple(float(x) for x in kernel)
+    half = len(taps) // 2
+    _, rows, cols = m.shape
+    wpad = (-(cols + 2 * half)) % 128
+
+    mp = pad2d(m, ((half, half), (half, half)), mode)
+    if wpad:
+        mp = jnp.pad(mp, ((0, 0), (0, 0), (0, wpad)), mode="edge")
+    mp = mp.astype(jnp.float32)
+    wp = mp.shape[2]
+
+    out_spec = pl.BlockSpec((band, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    fx, fy = pl.pallas_call(
+        partial(_blur5_flow_banded_kernel, taps=taps, band=band, w=cols,
+                half=half, scale=float(scale)),
+        grid=(rows // band,),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((5, band + 2 * half, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows) * cols * 5 * 4 * len(taps),
+            bytes_accessed=(mp.size + 2 * rows * cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mp)
+    return fx, fy

@@ -25,6 +25,9 @@ VALIDATED_KERNELS = {
     "um_channel": ("um_channel_compiled", "um_channel"),
     # Farneback fused blur5+updateFlow kernel (1.44x)
     "blur5": ("blur5_pallas_compiled", "blur5_pallas"),
+    # banded DMA-slab blur5+updateFlow for fields beyond whole-M residency
+    # (bit-identical, 2.41x the XLA stencil blur @2048^2: 6.61 -> 2.74 ms)
+    "blur5_banded": ("blur5_banded_compiled", "blur5_banded"),
     # dense-LK banded Gauss-Newton kernel (2.27x)
     "lk_gn": ("lk_pallas_compiled", "lk_pallas"),
     # dense-LK band-resident ladder shift-plane build (bit-identical,

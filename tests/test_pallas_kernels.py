@@ -716,3 +716,35 @@ def test_fb_fused_loop_matches_unfused_interpret(monkeypatch):
     assert fbf.fb_fused_supports_pallas((512, 512), 5, 33)
     assert not fbf.fb_fused_supports_pallas((1024, 1024), 5, 33)
     assert not fbf.fb_fused_supports_pallas((500, 700), 5, 33)  # off-tile
+
+
+def test_blur5_flow_banded_matches_whole_interpret():
+    """Banded DMA-slab blur5+updateFlow (large-field path) is BIT-IDENTICAL
+    to the whole-VMEM kernel (same op order, slab-streamed), both border
+    modes.  (A raw-noise M makes the 2x2 solve ill-conditioned, so the
+    stencil-path comparison lives in the well-conditioned full-solve tests.)"""
+    from opticalflow_ri_tpu.models.farneback import _blur_kernel
+    from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+        blur5_flow_banded_pallas, blur5_flow_banded_supports,
+        blur5_flow_pallas)
+
+    rng = np.random.default_rng(17)
+    m = jnp.asarray(rng.normal(0, 1, (5, 64, 128)).astype(np.float32))
+
+    kg = tuple(float(x) for x in _blur_kernel(33, 33 / 2 * 0.3))
+    fxw, fyw = blur5_flow_pallas(m, kg, "mirror", 1.0, interpret=True)
+    fxb, fyb = blur5_flow_banded_pallas(m, kg, "mirror", 1.0, band=8,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(fxb), np.asarray(fxw))
+    np.testing.assert_array_equal(np.asarray(fyb), np.asarray(fyw))
+
+    kb = tuple([1.0] * 33)
+    fxw, fyw = blur5_flow_pallas(m, kb, "nearest", 1.0 / 33 ** 2,
+                                 interpret=True)
+    fxb, fyb = blur5_flow_banded_pallas(m, kb, "nearest", 1.0 / 33 ** 2,
+                                        band=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fxb), np.asarray(fxw))
+    np.testing.assert_array_equal(np.asarray(fyb), np.asarray(fyw))
+
+    assert blur5_flow_banded_supports((5, 2048, 2048), 33)
+    assert not blur5_flow_banded_supports((5, 2050, 2048), 33)
