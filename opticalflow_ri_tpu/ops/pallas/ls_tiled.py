@@ -52,7 +52,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_T_BLOCK = 20
+# T=16 measured consistently faster than 20 on hardware (1024^2: 2.81 vs
+# 3.00 ms, 2048^2: 9.86 vs 10.5 — scripts/round4_tuning.json,
+# hs_ls_limiter.json; the kernel is VPU-bound, and lower T trims the halo
+# redundancy) and checks the tolerance closer to the reference's
+# per-iteration cadence.
+DEFAULT_T_BLOCK = 16
 
 # 10 DMA slabs + u/v/u_prev/v_prev carries + ~6 stencil temporaries, (BH+2T, W)
 _N_FIELDS_RESIDENT = 20

@@ -243,7 +243,7 @@ def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
 def update_matrices_channel_pallas(flowx, flowy, r0, r1,
                                    sample_max_shift: int = 5,
-                                   band: int = 64, interpret: bool = False):
+                                   band: int = 32, interpret: bool = False):
     """updateMatrices for fields beyond all-channel VMEM residency:
     channel-blocked Pallas tent sampling + the shared XLA M assembly
     (models.farneback.assemble_m).  Summation order differs from the dense

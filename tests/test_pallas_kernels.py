@@ -559,6 +559,18 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
                 f"default dispatch for {fam}@{shape} selects unproven "
                 f"kernel {kernel}")
 
+    # large-image sub-dispatches are registry-gated too: the validated
+    # stripe-staged LK path engages at 2048^2, while the unregistered
+    # fused FB loop must stay off the default path everywhere
+    from opticalflow_ri_tpu.models.lucas_kanade import (
+        _lk_build_impl, _lk_striped_impl)
+    from opticalflow_ri_tpu.models.farneback import _fb_fused_impl
+
+    assert not _lk_build_impl(2048, 2048, 5)
+    assert _lk_striped_impl(2048, 2048, 5)
+    assert not _fb_fused_impl("pallas", (5, 512, 512), 33)
+    assert _fb_fused_impl("pallas_fused", (5, 512, 512), 33)  # explicit only
+
 
 def test_lk_build_pallas_matches_xla_build_interpret():
     """Band-resident shift-plane build kernel is bit-identical to the XLA
