@@ -760,3 +760,42 @@ def test_blur5_flow_banded_matches_whole_interpret():
 
     assert blur5_flow_banded_supports((5, 2048, 2048), 33)
     assert not blur5_flow_banded_supports((5, 2050, 2048), 33)
+
+
+def test_fb_fused2_matmul_fold_matches_unfused_interpret():
+    """Fused iteration loop v2 (matmul-fold blur, store-free body) == the
+    unfused XLA sequence for both window-blur modes."""
+    from opticalflow_ri_tpu.models.farneback import (
+        poly_expansion, update_matrices, _blur_flow_dispatch,
+        _window_blur_spec,
+    )
+    from opticalflow_ri_tpu.ops.pallas.fb_fused2 import (
+        fb_fused2_pallas, fb_fused2_supports_pallas)
+
+    rng = np.random.default_rng(23)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (64, 128)).astype(np.float32))
+    r0 = poly_expansion(im1, 7, 1.5)
+    r1 = poly_expansion(im2, 7, 1.5)
+    z = jnp.zeros((64, 128), jnp.float32)
+
+    for use_gaussian in (True, False):
+        fx, fy = z, z
+        m = update_matrices(fx, fy, r0, r1)
+        for i in range(3):
+            fx, fy = _blur_flow_dispatch(m, 33, use_gaussian, impl="xla")
+            if i < 2:
+                m = update_matrices(fx, fy, r0, r1)
+
+        k, mode, scale = _window_blur_spec(33, use_gaussian)
+        ff, gf = fb_fused2_pallas(r0, r1, z, z, 3,
+                                  tuple(float(x) for x in k), mode, scale,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(ff), np.asarray(fx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(fy),
+                                   rtol=1e-4, atol=1e-4)
+
+    assert fb_fused2_supports_pallas((512, 512), 5, 33)
+    assert not fb_fused2_supports_pallas((1024, 1024), 5, 33)
