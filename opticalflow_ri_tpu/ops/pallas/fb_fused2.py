@@ -21,8 +21,15 @@ separable order); the blur reassociates the separable taps into row/column
 dot products, so flow parity is to f32 round-off (hardware A/B stages
 ``fb_fused2_*``), not bit-identical.
 
-Whole-field VMEM residency caps this at ~512^2; larger fields keep the
-banded two-kernel path.
+OUTCOME (round-4 hardware probe): the store-free body fixed the compile-time
+pathology, but Mosaic's scoped-VMEM accounting for the unrolled loop body
+(contraction temporaries + fold matmul operands, all live across the fori
+body) needs 343 MB against the chip's 128 MB — whole-loop FB fusion at 512^2
+structurally exceeds VMEM however the borders are expressed.  The two-kernel
+path (tent_sample + blur5_flow, banded, M through HBM between launches) is
+the design point; this module stays as the documented negative result and an
+interpret-mode reference (never registered, unreachable from default
+dispatch).
 """
 
 from __future__ import annotations
@@ -143,18 +150,12 @@ def _fb_fused2_kernel(r1p_ref, r0_ref, ay_ref, bx_ref, fx0_ref, fy0_ref,
 
 
 def fb_fused2_supports_pallas(shape, sample_max_shift, ksize: int) -> bool:
-    """R-padded R1, R0, M, fold matrices and weight temporaries resident."""
-    rows, cols = shape[-2], shape[-1]
-    if sample_max_shift is None:
-        return False
-    if rows % 8 or cols % 128:
-        return False
-    field = 5 * rows * cols * 4
-    r1p = 5 * (rows + 2 * sample_max_shift + 1) * (
-        cols + 2 * sample_max_shift + 1) * 4
-    total = (r1p + 4 * field + (rows * rows + cols * cols) * 4
-             + (2 * sample_max_shift + 6) * rows * cols * 4)
-    return total <= 72 * 1024 * 1024
+    """Always False on hardware: the naive residency model (~40 MB at 512^2)
+    under-counts Mosaic's scoped-VMEM accounting of the unrolled loop body
+    by ~8x — the real 512^2 requirement is 343 MB (module docstring).  Kept
+    so callers can see the negative result programmatically; interpret mode
+    still runs for reference."""
+    return False
 
 
 @partial(jax.jit, static_argnames=("n_iters", "sample_max_shift", "kernel",

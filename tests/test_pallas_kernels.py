@@ -797,5 +797,8 @@ def test_fb_fused2_matmul_fold_matches_unfused_interpret():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(fy),
                                    rtol=1e-4, atol=1e-4)
 
-    assert fb_fused2_supports_pallas((512, 512), 5, 33)
+    # hardware-probed negative result: the unrolled loop body scoped-VMEM
+    # OOMs (343 MB of 128 at 512^2), so the kernel is never supported
+    # compiled — interpret mode above documents the semantics
+    assert not fb_fused2_supports_pallas((512, 512), 5, 33)
     assert not fb_fused2_supports_pallas((1024, 1024), 5, 33)
