@@ -140,6 +140,29 @@ class HSOpticalFlowAlgoAdapter:
     def compute(self, im1, im2, U, V):
         alpha = self.alphas.pop()
         im1 = jnp.asarray(im1)
+
+        # kernel-sharded context (parallel/context.py): inside an
+        # auto-sharded pipeline trace, route the solve through the
+        # shard_map-composed tiled kernel on the context's mesh so
+        # multi-chip runs keep the validated kernels; per-solve graceful
+        # fallback when the local tiles don't support it
+        from opticalflow_ri_tpu.parallel.context import current_kernel_shard
+
+        ctx = current_kernel_shard()
+        if ctx is not None and self.impl == "auto":
+            mesh, interp = ctx
+            from opticalflow_ri_tpu.parallel.sharded_pallas import (
+                hs_solve_sharded_kernel, pick_hs_shard_t,
+            )
+
+            t = pick_hs_shard_t(mesh, im1.shape, interp)
+            if t is not None:
+                return hs_solve_sharded_kernel(
+                    mesh, im1, jnp.asarray(im2), float(alpha), self.Niter,
+                    jnp.asarray(U), jnp.asarray(V), t_block=t,
+                    interpret=interp,
+                )
+
         impl = _pick_impl(im1.shape) if self.impl == "auto" else self.impl
         u, v, err = hs_solve(
             im1, jnp.asarray(im2), float(alpha), self.Niter,

@@ -205,6 +205,28 @@ class LiuShenOpticalFlowAlgoAdapter:
 
     def compute(self, im1, im2, U, V):
         im1 = jnp.asarray(im1)
+
+        # kernel-sharded context: see HSOpticalFlowAlgoAdapter.compute.
+        # Component swap preserved: the sharded solve also uses the internal
+        # (u-along-rows) convention, so V/U swap in and out identically.
+        from opticalflow_ri_tpu.parallel.context import current_kernel_shard
+
+        ctx = current_kernel_shard()
+        if ctx is not None:
+            mesh, interp = ctx
+            from opticalflow_ri_tpu.parallel.sharded_pallas import (
+                liu_shen_solve_sharded_kernel, pick_ls_shard_t,
+            )
+
+            t = pick_ls_shard_t(mesh, im1.shape, interp)
+            if t is not None:
+                rv, ru, err = liu_shen_solve_sharded_kernel(
+                    mesh, im1, jnp.asarray(im2), float(self.alpha),
+                    jnp.asarray(V), jnp.asarray(U), t_block=t,
+                    interpret=interp,
+                )
+                return [ru, rv, err]
+
         # impl resolved HERE (trace time of any outer jit) so the inner jit's
         # cache key reflects the dispatch decision (e.g. force_xla contexts)
         rv, ru, err = liu_shen_solve(

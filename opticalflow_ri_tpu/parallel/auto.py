@@ -121,7 +121,10 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
         fn = jax.vmap(fn)
 
     def wrapped(im1, im2):
-        from opticalflow_ri_tpu.ops.pallas import force_xla
+        import contextlib
+
+        from opticalflow_ri_tpu.ops.pallas import force_xla, pallas_default_on
+        from opticalflow_ri_tpu.parallel.context import kernel_sharded_solvers
 
         im1 = jax.lax.with_sharding_constraint(im1, sharding)
         im2 = jax.lax.with_sharding_constraint(im2, sharding)
@@ -132,8 +135,19 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
                 name, mesh, 20, kernel_interpret)(im1, im2)
         else:
             # GSPMD route: trace the XLA ops, which partition into halo
-            # exchanges and collectives (Pallas calls would replicate).
-            with force_xla():
+            # exchanges and collectives (Pallas calls would replicate) —
+            # EXCEPT the HS/LS solver bodies, which the kernel-sharded
+            # context (parallel/context.py) routes through shard_map-composed
+            # validated kernels per level when the policy and tile shapes
+            # allow (multi-chip pyramids keep single-chip kernels too).
+            # (batch=True vmaps the pipeline — shard_map inside vmap is not
+            # a supported composition, so batched runs stay pure GSPMD)
+            use_kernels = not batch and (pallas_default_on() or kernel_interpret)
+            solver_ctx = (
+                kernel_sharded_solvers(mesh, kernel_interpret)
+                if use_kernels else contextlib.nullcontext()
+            )
+            with force_xla(), solver_ctx:
                 u, v = fn(im1, im2)
         return (
             jax.lax.with_sharding_constraint(u, sharding),

@@ -69,6 +69,20 @@ def hs_shard_kernel_supported(h_loc: int, w_loc: int,
     return stripe_height(h_loc, w_loc, t_block) is not None
 
 
+def pick_hs_shard_t(mesh, shape, interpret: bool = False) -> int | None:
+    """Largest supported T-block for a kernel-sharded HS solve of ``shape``
+    on ``mesh`` (None if no tiling works — caller falls back gracefully)."""
+    my = mesh.shape["y"]
+    mx = mesh.shape["x"]
+    h, w = shape[-2], shape[-1]
+    if h % my or w % mx:
+        return None
+    for t in (20, 8):
+        if hs_shard_kernel_supported(h // my, w // mx, t, interpret):
+            return t
+    return None
+
+
 def _hs_body_shardkernel(im1, im2, u0, v0, *, alpha, niter, t_block, bh,
                          interpret):
     """Per-device body: derivatives on the local tile, then niter Jacobi
@@ -164,6 +178,18 @@ def ls_shard_kernel_supported(h_loc: int, w: int, t_block: int,
     if not interpret and (h_loc % 8 or w % 128):
         return False
     return ls_stripe_height(h_loc, w, t_block) is not None
+
+
+def pick_ls_shard_t(mesh, shape, interpret: bool = False) -> int | None:
+    """Largest supported T-block for a rows-sharded Liu-Shen kernel solve."""
+    my = mesh.shape["y"]
+    h, w = shape[-2], shape[-1]
+    if h % my:
+        return None
+    for t in (16, 8, 4):
+        if ls_shard_kernel_supported(h // my, w, t, interpret):
+            return t
+    return None
 
 
 def _pad_x(z, n, mode):

@@ -176,3 +176,48 @@ def test_auto_pipeline_kernel_sharded_route(piv_pair_medium):
     aee = float(np.mean(np.hypot(np.asarray(u8) - np.asarray(u1),
                                  np.asarray(v8) - np.asarray(v1))))
     assert aee < 1e-5, aee
+
+
+@needs_devices
+def test_auto_pipeline_pyramid_routes_solvers_to_kernels(piv_pair_medium):
+    """2-level pyramidal configs under the kernel-sharded solver context:
+    the per-level HS (and Liu-Shen refiner) solves run the shard_map-composed
+    validated kernels while resize/warp/prefilter stay GSPMD — and the
+    result still matches the single-device pipeline."""
+    import opticalflow_ri_tpu.parallel.sharded_pallas as sp
+    from opticalflow_ri_tpu.parallel import auto
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    im1, im2, _, _ = piv_pair_medium
+    mesh = make_mesh(8)
+
+    calls = {"hs": 0, "ls": 0}
+    orig_hs = sp.hs_solve_sharded_kernel
+    orig_ls = sp.liu_shen_solve_sharded_kernel
+
+    def hs_rec(*a, **k):
+        calls["hs"] += 1
+        return orig_hs(*a, **k)
+
+    def ls_rec(*a, **k):
+        calls["ls"] += 1
+        return orig_ls(*a, **k)
+
+    sp.hs_solve_sharded_kernel = hs_rec
+    sp.liu_shen_solve_sharded_kernel = ls_rec
+    try:
+        for cfg, needs_ls in [("PyHSchunck_Fs3_4_PyrLvls2", False),
+                              ("LiuSE_PyHSchunck_Fs3_4_PyrLvls2", True)]:
+            calls["hs"] = calls["ls"] = 0
+            fn = auto.auto_sharded_pipeline(cfg, mesh, kernel_interpret=True)
+            u8, v8 = fn(jnp.asarray(im1), jnp.asarray(im2))
+            u1, v1 = compiled_pipeline(cfg)(jnp.asarray(im1), jnp.asarray(im2))
+            aee = float(np.mean(np.hypot(np.asarray(u8) - np.asarray(u1),
+                                         np.asarray(v8) - np.asarray(v1))))
+            assert aee < 1e-5, (cfg, aee)
+            assert calls["hs"] >= 1, (cfg, calls)
+            if needs_ls:
+                assert calls["ls"] >= 1, (cfg, calls)
+    finally:
+        sp.hs_solve_sharded_kernel = orig_hs
+        sp.liu_shen_solve_sharded_kernel = orig_ls
