@@ -106,14 +106,27 @@ def _hs_config_kernel_sharded(name: str, mesh: Mesh, t_block: int,
 
 
 def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
-                          kernel_interpret: bool = False):
+                          kernel_interpret: bool = False,
+                          _force_sharded: bool = False):
     """Jitted (im1, im2) -> (U, V) running SPMD over ``mesh``.
 
     ``batch=True`` expects (B, H, W) inputs and additionally shards the
     leading axis over the mesh's 'batch' axis.  ``kernel_interpret=True``
     runs the kernel-sharded route's Pallas kernels in interpreter mode
     (CPU-mesh validation).
+
+    A single-device mesh short-circuits to the plain compiled pipeline —
+    there is nothing to decompose, and the unsharded dispatch (whole-solve
+    kernels, single launches) is strictly faster than paying the sharded
+    schedule's T-launch structure for no halo benefit (hardware A/B:
+    ``sharded_pyramid`` stages).  ``_force_sharded=True`` disables the
+    shortcut for measurement.
     """
+    if mesh.size == 1 and not _force_sharded:
+        from opticalflow_ri_tpu.compile import batched_pipeline, compiled_pipeline
+
+        return batched_pipeline(name) if batch else compiled_pipeline(name)
+
     spec = P("batch", "y", "x") if batch else P("y", "x")
     sharding = NamedSharding(mesh, spec)
     fn = pipeline_fn(name)

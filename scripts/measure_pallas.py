@@ -538,6 +538,47 @@ def main():
         emit(f"sharded_ls_{side}", marginal_ms=m_s * 1e3,
              unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
 
+    # ---------------- kernel-sharded pyramid pipeline (1-device mesh) -------
+    # On a mesh that actually shards, the alternative to the solver context
+    # is force_xla GSPMD — so the honest A/B is kernel-context vs GSPMD-XLA
+    # on the same (forced) sharded schedule.  vs the plain unsharded
+    # pipeline the sharded schedule costs the T-launch structure (+38%
+    # measured), which is why auto_sharded_pipeline short-circuits
+    # single-device meshes entirely.
+    if want("sharded_pyramid"):
+        import opticalflow_ri_tpu.ops.pallas as _pp
+        from jax.sharding import Mesh
+        from opticalflow_ri_tpu.parallel.auto import auto_sharded_pipeline
+        from opticalflow_ri_tpu.compile import compiled_pipeline
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                     ("batch", "y", "x"))
+        signal.alarm(2400)
+        fn_k = auto_sharded_pipeline("PyHSchunck_Fs3_4_PyrLvls2", mesh1,
+                                     _force_sharded=True)
+        fn_u = compiled_pipeline("PyHSchunck_Fs3_4_PyrLvls2")
+        _orig_on = _pp.pallas_default_on
+        _pp.pallas_default_on = lambda: False  # GSPMD force_xla baseline
+        try:
+            fn_x = auto_sharded_pipeline(
+                "PyHSchunck_Fs3_4_PyrLvls2", mesh1, _force_sharded=True)
+            ux, vx = fn_x(im1, im2)  # traced while the policy is off
+        finally:
+            _pp.pallas_default_on = _orig_on
+        uk, vk = fn_k(im1, im2)
+        uu, vu = fn_u(im1, im2)
+        diff = float(jnp.max(jnp.abs(uk - uu))) + float(jnp.max(jnp.abs(vk - vu)))
+        emit("sharded_pyramid_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_u, _ = marginal(fn_u, (im1, im2))
+        m_k, _ = marginal(fn_k, (im1, im2))
+        m_x, _ = marginal(fn_x, (im1, im2))
+        emit("sharded_pyramid", marginal_ms=m_k * 1e3,
+             gspmd_xla_marginal_ms=m_x * 1e3,
+             unsharded_marginal_ms=m_u * 1e3,
+             speedup_vs_gspmd=m_x / m_k,
+             overhead_vs_unsharded=m_k / m_u - 1.0)
+
     # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
     # resolved at trace time, and the inner solver jits cache their traces, so
     # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per

@@ -221,3 +221,18 @@ def test_auto_pipeline_pyramid_routes_solvers_to_kernels(piv_pair_medium):
     finally:
         sp.hs_solve_sharded_kernel = orig_hs
         sp.liu_shen_solve_sharded_kernel = orig_ls
+
+
+@needs_devices
+def test_auto_pipeline_single_device_mesh_shortcut():
+    """A 1-device mesh has nothing to decompose: auto_sharded_pipeline
+    returns the plain compiled pipeline (whole-solve kernels, no sharded
+    T-launch schedule — hardware A/B measured +38% for paying it)."""
+    from jax.sharding import Mesh
+    from opticalflow_ri_tpu.parallel import auto
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                 ("batch", "y", "x"))
+    fn = auto.auto_sharded_pipeline("HS_Fs3_4", mesh1)
+    assert fn is compiled_pipeline("HS_Fs3_4")
