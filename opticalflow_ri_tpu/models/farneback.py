@@ -221,7 +221,9 @@ def assemble_m(s, r0, flowx, flowy, inside):
 
 def _um_impl(shape, sample_max_shift=5) -> str:
     """Static dispatch for update_matrices: the Pallas VMEM-resident kernel
-    (measured 11x the XLA contraction on a v5e, bit-identical —
+    (5.4x the XLA contraction on a v5e at the R=5 default, parity to f32
+    round-off — relative 1.5e-7; the round-4 separable reorder traded
+    bit-identity for hoisted lane rotates —
     scripts/pallas_ab_results.json) when the backend policy allows, else XLA."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
@@ -283,27 +285,17 @@ def _window_blur_spec(window_size: int, use_gaussian: bool):
             1.0 / (2 * half + 1) ** 2)
 
 
-def _fb_fused_impl(impl: str, shape, window_size: int,
-                   sample_max_shift: int = 5) -> bool:
-    """Whether the iteration loop runs as ONE whole-resident Pallas launch
-    (ops/pallas/fb_fused.py) instead of 2*n_iters banded-kernel launches."""
-    if impl == "pallas_fused":
-        return True
-    if impl != "pallas":
-        return False
-    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
-
-    if not is_validated("fb_fused"):
-        return False
-    from opticalflow_ri_tpu.ops.pallas.fb_fused import fb_fused_supports_pallas
-
-    return fb_fused_supports_pallas(shape, sample_max_shift, window_size)
+# NOTE: there is deliberately NO fused whole-loop dispatch here.  Whole-loop
+# fusion was attempted twice in round 4 and closed as a hardware-proven
+# negative result (scoped-VMEM OOM at 343 MB of 128 for the store-free
+# variant) — see ops/pallas/fb_fused2.py and PARITY.md.  The two-kernel
+# banded path below is the design point.
 
 
 def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
                         impl: str = "auto"):
     """window-blur M then solve for flow, fused in one Pallas pass (measured
-    ~5x the stencil + elementwise path on a v5e, bit-identical —
+    2.1x the stencil + elementwise path on a v5e, bit-identical —
     scripts/pallas_ab_results.json) when the backend policy allows."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
@@ -406,22 +398,12 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
             poly_n, poly_sigma,
         )
 
-        if _fb_fused_impl(impl, ra.shape, window_size):
-            # whole iteration loop in ONE Pallas launch, everything
-            # VMEM-resident (same um-first reassociation of the reference
-            # schedule — see ops/pallas/fb_fused.py)
-            from opticalflow_ri_tpu.ops.pallas.fb_fused import fb_fused_pallas
-
-            k, kmode, kscale = _window_blur_spec(window_size, use_gaussian)
-            fx, fy = fb_fused_pallas(ra, rb, fx, fy, n_iters,
-                                     tuple(float(x) for x in k), kmode, kscale)
-        else:
-            m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
-            for i in range(n_iters):
-                fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian,
-                                             impl=impl)
-                if i < n_iters - 1:
-                    m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
+        m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
+        for i in range(n_iters):
+            fx, fy = _blur_flow_dispatch(m, window_size, use_gaussian,
+                                         impl=impl)
+            if i < n_iters - 1:
+                m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)
         prev = (fx, fy)
 
     return prev

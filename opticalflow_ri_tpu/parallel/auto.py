@@ -40,24 +40,20 @@ _HS_SINGLE_LEVEL = {"PyHSchunck_Fs3_4", "HS_Fs3_4", "HS_Fs0_0"}
 
 
 def hs_kernel_sharded_eligible(name: str, mesh: Mesh, shape,
-                               t_block: int = 20,
-                               interpret: bool = False) -> bool:
-    """True when ``auto_sharded_pipeline`` will route ``name`` to the
-    kernel-sharded path instead of force_xla GSPMD."""
+                               interpret: bool = False):
+    """T-block when ``auto_sharded_pipeline`` will route ``name`` to the
+    kernel-sharded path instead of force_xla GSPMD; None otherwise.
+    (pick_hs_shard_t is the single source of tile-shape truth, shared with
+    the adapter-level solver context.)"""
     if name not in _HS_SINGLE_LEVEL:
-        return False
+        return None
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
-    from opticalflow_ri_tpu.parallel.sharded_pallas import hs_shard_kernel_supported
+    from opticalflow_ri_tpu.parallel.sharded_pallas import pick_hs_shard_t
 
     if not (pallas_default_on() and is_validated("hs_tiled")):
-        return False
-    my = mesh.shape["y"]
-    mx = mesh.shape["x"]
-    h, w = shape[-2], shape[-1]
-    if h % my or w % mx:
-        return False
-    return hs_shard_kernel_supported(h // my, w // mx, t_block, interpret)
+        return None
+    return pick_hs_shard_t(mesh, shape, interpret)
 
 
 def _hs_config_kernel_sharded(name: str, mesh: Mesh, t_block: int,
@@ -123,9 +119,12 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
     shortcut for measurement.
     """
     if mesh.size == 1 and not _force_sharded:
-        from opticalflow_ri_tpu.compile import batched_pipeline, compiled_pipeline
+        from opticalflow_ri_tpu.compile import compiled_pipeline, scan_pipeline
 
-        return batched_pipeline(name) if batch else compiled_pipeline(name)
+        # scan_pipeline has the same (B, H, W)-stack contract as the batched
+        # route and is the production batch construct (the vmapped
+        # batched_pipeline is deprecated, ~4.7x slower)
+        return scan_pipeline(name) if batch else compiled_pipeline(name)
 
     spec = P("batch", "y", "x") if batch else P("y", "x")
     sharding = NamedSharding(mesh, spec)
@@ -141,11 +140,14 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
 
         im1 = jax.lax.with_sharding_constraint(im1, sharding)
         im2 = jax.lax.with_sharding_constraint(im2, sharding)
-        if not batch and hs_kernel_sharded_eligible(
-            name, mesh, im1.shape, interpret=kernel_interpret
-        ):
+        t_blk = (
+            hs_kernel_sharded_eligible(name, mesh, im1.shape,
+                                       interpret=kernel_interpret)
+            if not batch else None
+        )
+        if t_blk is not None:
             u, v = _hs_config_kernel_sharded(
-                name, mesh, 20, kernel_interpret)(im1, im2)
+                name, mesh, t_blk, kernel_interpret)(im1, im2)
         else:
             # GSPMD route: trace the XLA ops, which partition into halo
             # exchanges and collectives (Pallas calls would replicate) —

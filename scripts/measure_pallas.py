@@ -398,68 +398,6 @@ def main():
         emit(f"ls_tiled_{side}", marginal_ms=m_lt * 1e3,
              speedup_vs_xla=m_lx2 / m_lt)
 
-    # ---------------- Farneback fused whole-loop kernel (512^2) -------------
-    # One launch for the entire iteration loop (um + in-kernel border pad +
-    # separable blur + solve, everything VMEM-resident) vs the banded
-    # two-kernel path (2*n_iters launches, M round-tripping HBM).
-    if want("fb_fused"):
-        from opticalflow_ri_tpu.models.farneback import farneback_solve
-
-        z5 = jnp.zeros((h, w), jnp.float32)
-        fb_two = lambda a, b: farneback_solve(a, b, z5, z5, impl="pallas")[:2]
-        fb_fus = lambda a, b: farneback_solve(a, b, z5, z5,
-                                              impl="pallas_fused")[:2]
-        signal.alarm(2400)
-        uf, vf = fb_fus(im1, im2)
-        ut, vt = fb_two(im1, im2)
-        diff = float(jnp.max(jnp.abs(uf - ut))) + float(jnp.max(jnp.abs(vf - vt)))
-        emit("fb_fused_compiled", max_abs_diff=diff)
-        signal.alarm(900)
-        m_t, _ = marginal(fb_two, (im1, im2))
-        m_f, _ = marginal(fb_fus, (im1, im2))
-        emit("fb_fused", marginal_ms=m_f * 1e3, two_kernel_marginal_ms=m_t * 1e3,
-             speedup_vs_two_kernel=m_t / m_f)
-
-    # ---------------- banded blur5+updateFlow at 2048^2 ---------------------
-    # Fields beyond whole-M VMEM residency kept the XLA stencil blur (round-3
-    # "next frontier"; measured 5.75 ms/iteration = half the 2048^2 solve).
-    # The banded DMA-slab kernel is bit-identical to the whole-VMEM kernel.
-    if want("blur5_banded"):
-        from opticalflow_ri_tpu.models.farneback import (
-            poly_expansion as _pe, update_matrices_dispatch as _umd,
-            _blur_flow_dispatch as _bfd, _blur_kernel as _bk, update_flow,
-            gaussian_blur5,
-        )
-        from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
-            blur5_flow_banded_pallas, blur5_flow_banded_supports,
-        )
-
-        s1, s2, _, _ = particle_image_pair(shape=(2048, 2048), seed=0)
-        b1 = jnp.asarray(s1, jnp.float32)
-        b2 = jnp.asarray(s2, jnp.float32)
-        zb = jnp.zeros((2048, 2048), jnp.float32)
-        rb0 = _pe(b1, 7, 1.5)
-        rb1 = _pe(b2, 7, 1.5)
-        mb = _jax.block_until_ready(
-            _umd(zb, zb, rb0, rb1, impl="pallas_channel"))
-
-        kg = tuple(float(x) for x in _bk(33, 33 / 2 * 0.3))
-        assert blur5_flow_banded_supports(mb.shape, len(kg))
-        bf_x2 = _jax.jit(lambda m: update_flow(gaussian_blur5(m, 33, 33 / 2 * 0.3)))
-        signal.alarm(900)
-        m_x2, _ = marginal(bf_x2, (mb,), chain=4, repeats=3)
-        emit("blur5_banded_xla", marginal_ms=m_x2 * 1e3)
-        signal.alarm(2400)
-        fxb, fyb = blur5_flow_banded_pallas(mb, kg, "mirror", 1.0)
-        fxr, fyr = bf_x2(mb)
-        diff = float(jnp.max(jnp.abs(fxb - fxr))) + float(jnp.max(jnp.abs(fyb - fyr)))
-        emit("blur5_banded_compiled", max_abs_diff=diff)
-        signal.alarm(900)
-        m_b2, _ = marginal(
-            lambda m: blur5_flow_banded_pallas(m, kg, "mirror", 1.0),
-            (mb,), chain=4, repeats=3)
-        emit("blur5_banded", marginal_ms=m_b2 * 1e3, speedup_vs_xla=m_x2 / m_b2)
-
     # ---------------- LK stripe-staged build+GN (2048^2) --------------------
     # Large-image path: per-stripe Pallas build feeding per-stripe GN, only
     # one stripe's plane stack in HBM — vs the current default at 2048^2

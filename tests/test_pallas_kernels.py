@@ -515,8 +515,14 @@ def test_validated_registry_matches_ab_artifact():
         assert parity_stage in ab, f"{kernel}: no parity stage {parity_stage}"
         assert "max_abs_diff" in ab[parity_stage], (
             f"{kernel}: {parity_stage} has no hardware parity diff")
-        assert ab[parity_stage]["max_abs_diff"] <= 1e-3, (
-            f"{kernel}: hardware parity diff too large")
+        # stages marked relative record diff/scale — hold them to a much
+        # tighter bar so switching a stage to relative cannot quietly admit
+        # a kernel that is 1e-3 RELATIVE off (0.25 absolute on an O(255)
+        # field) under the absolute 1e-3 contract everyone else meets
+        bar = 1e-5 if ab[parity_stage].get("relative") else 1e-3
+        assert ab[parity_stage]["max_abs_diff"] <= bar, (
+            f"{kernel}: hardware parity diff too large "
+            f"({ab[parity_stage]['max_abs_diff']} > {bar})")
         assert timed_stage in ab, f"{kernel}: no timed stage {timed_stage}"
         timed = ab[timed_stage]
         assert any(k.endswith("marginal_ms") for k in timed), (
@@ -564,12 +570,9 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
     # fused FB loop must stay off the default path everywhere
     from opticalflow_ri_tpu.models.lucas_kanade import (
         _lk_build_impl, _lk_striped_impl)
-    from opticalflow_ri_tpu.models.farneback import _fb_fused_impl
 
     assert not _lk_build_impl(2048, 2048, 5)
     assert _lk_striped_impl(2048, 2048, 5)
-    assert not _fb_fused_impl("pallas", (5, 512, 512), 33)
-    assert _fb_fused_impl("pallas_fused", (5, 512, 512), 33)  # explicit only
 
 
 def test_lk_build_pallas_matches_xla_build_interpret():
@@ -688,46 +691,6 @@ def test_lk_striped_build_gn_matches_xla_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
-
-
-def test_fb_fused_loop_matches_unfused_interpret(monkeypatch):
-    """Whole-resident fused Farneback iteration loop (one launch: um ->
-    in-kernel border pad -> separable blur -> solve, fori over iterations)
-    == the unfused XLA sequence, for both window-blur modes."""
-    from opticalflow_ri_tpu.models.farneback import (
-        poly_expansion, update_matrices, _blur_flow_dispatch,
-        _window_blur_spec,
-    )
-    import opticalflow_ri_tpu.ops.pallas.fb_fused as fbf
-
-    rng = np.random.default_rng(13)
-    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
-    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
-        rng.normal(0, 2, (64, 128)).astype(np.float32))
-    r0 = poly_expansion(im1, 7, 1.5)
-    r1 = poly_expansion(im2, 7, 1.5)
-    z = jnp.zeros((64, 128), jnp.float32)
-
-    for use_gaussian in (True, False):
-        fx, fy = z, z
-        m = update_matrices(fx, fy, r0, r1)
-        for i in range(3):
-            fx, fy = _blur_flow_dispatch(m, 33, use_gaussian, impl="xla")
-            if i < 2:
-                m = update_matrices(fx, fy, r0, r1)
-
-        k, mode, scale = _window_blur_spec(33, use_gaussian)
-        ff, gf = fbf.fb_fused_pallas(r0, r1, z, z, 3,
-                                     tuple(float(x) for x in k), mode, scale,
-                                     interpret=True)
-        np.testing.assert_allclose(np.asarray(ff), np.asarray(fx),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(gf), np.asarray(fy),
-                                   rtol=1e-4, atol=1e-4)
-
-    assert fbf.fb_fused_supports_pallas((512, 512), 5, 33)
-    assert not fbf.fb_fused_supports_pallas((1024, 1024), 5, 33)
-    assert not fbf.fb_fused_supports_pallas((500, 700), 5, 33)  # off-tile
 
 
 def test_blur5_flow_banded_matches_whole_interpret():
