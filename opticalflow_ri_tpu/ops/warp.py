@@ -93,12 +93,34 @@ def displacement_warp_tent(img: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray,
     return out
 
 
+def _warp_impl(shape, max_shift: int) -> str:
+    """Static dispatch for the driver warp: the tent_sample-pattern Pallas
+    kernel (hoisted lane rotates, both images in one launch — the largest
+    pyramid-glue item per scripts/pyramid_glue_probe.json) when the backend
+    policy allows and it is hardware-validated, else the XLA contraction."""
+    from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not pallas_default_on() or not is_validated("warp_tent"):
+        return "xla"
+    from opticalflow_ri_tpu.ops.pallas.warp_tent import warp_tent_supports_pallas
+
+    return "pallas" if warp_tent_supports_pallas(shape, max_shift) else "xla"
+
+
 def symmetric_warp_pair(im1: jnp.ndarray, im2: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                         max_shift: int | None = 8):
     """Symmetric half-displacement warp of an image pair: im1 backwards by
     (u/2, v/2), im2 forwards — the driver's warping step
     (ref: src/GenericPyramidalOpticalFlow.py:198-201)."""
     if max_shift is not None:
+        if im1.ndim == 2 and _warp_impl(im1.shape, max_shift) == "pallas":
+            from opticalflow_ri_tpu.ops.pallas.warp_tent import (
+                warp_pair_tent_pallas,
+            )
+
+            return warp_pair_tent_pallas(
+                im1, im2, -v / 2.0, -u / 2.0, v / 2.0, u / 2.0, max_shift)
         w1 = displacement_warp_tent(im1, -v / 2.0, -u / 2.0, max_shift)
         w2 = displacement_warp_tent(im2, v / 2.0, u / 2.0, max_shift)
         return w1, w2

@@ -398,6 +398,39 @@ def main():
         emit(f"ls_tiled_{side}", marginal_ms=m_lt * 1e3,
              speedup_vs_xla=m_lx2 / m_lt)
 
+    # ---------------- driver warp tent kernel (512^2) -----------------------
+    # Largest pyramid-glue item (0.60 ms/pair, scripts/pyramid_glue_probe):
+    # the tent_sample-pattern warp kernel, both images in one launch.
+    if want("warp_tent"):
+        from opticalflow_ri_tpu.ops.warp import displacement_warp_tent
+        from opticalflow_ri_tpu.ops.pallas.warp_tent import warp_pair_tent_pallas
+
+        uw = _jax.random.uniform(_jax.random.PRNGKey(2), (h, w), jnp.float32,
+                                 -4.0, 4.0)
+        vw = _jax.random.uniform(_jax.random.PRNGKey(3), (h, w), jnp.float32,
+                                 -4.0, 4.0)
+        wp_x = _jax.jit(lambda a, b, u, v: (
+            displacement_warp_tent(a, -v / 2, -u / 2, 8),
+            displacement_warp_tent(b, v / 2, u / 2, 8),
+        ))
+        signal.alarm(900)
+        m_wx, _ = marginal(wp_x, (im1, im2, uw, vw))
+        emit("warp_tent_xla", marginal_ms=m_wx * 1e3)
+        signal.alarm(2400)
+        w1p, w2p = warp_pair_tent_pallas(im1, im2, -vw / 2, -uw / 2,
+                                         vw / 2, uw / 2, 8)
+        w1r, w2r = wp_x(im1, im2, uw, vw)
+        diff = float(jnp.max(jnp.abs(w1p - w1r))) + float(jnp.max(jnp.abs(w2p - w2r)))
+        scale = float(jnp.max(jnp.abs(w1r)))
+        emit("warp_tent_compiled", max_abs_diff=diff / scale, abs_diff=diff,
+             ref_scale=scale, relative=True)
+        signal.alarm(900)
+        m_wp, _ = marginal(
+            lambda a, b, u, v: warp_pair_tent_pallas(a, b, -v / 2, -u / 2,
+                                                     v / 2, u / 2, 8),
+            (im1, im2, uw, vw))
+        emit("warp_tent", marginal_ms=m_wp * 1e3, speedup_vs_xla=m_wx / m_wp)
+
     # ---------------- LK stripe-staged build+GN (2048^2) --------------------
     # Large-image path: per-stripe Pallas build feeding per-stripe GN, only
     # one stripe's plane stack in HBM — vs the current default at 2048^2

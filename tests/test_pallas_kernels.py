@@ -765,3 +765,30 @@ def test_fb_fused2_matmul_fold_matches_unfused_interpret():
     # compiled — interpret mode above documents the semantics
     assert not fb_fused2_supports_pallas((512, 512), 5, 33)
     assert not fb_fused2_supports_pallas((1024, 1024), 5, 33)
+
+
+def test_warp_tent_pallas_matches_xla_interpret():
+    """Pallas driver-warp kernel (both images, one launch, separable
+    weights) == the XLA tent contraction to f32 round-off."""
+    from opticalflow_ri_tpu.ops.warp import displacement_warp_tent
+    from opticalflow_ri_tpu.ops.pallas.warp_tent import (
+        warp_pair_tent_pallas, warp_tent_supports_pallas)
+
+    rng = np.random.default_rng(29)
+    im1 = jnp.asarray(rng.uniform(0, 255, (48, 136)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (48, 136)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-6, 6, (48, 136)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-6, 6, (48, 136)).astype(np.float32))
+
+    w1r = displacement_warp_tent(im1, -v / 2, -u / 2, 8)
+    w2r = displacement_warp_tent(im2, v / 2, u / 2, 8)
+    w1p, w2p = warp_pair_tent_pallas(im1, im2, -v / 2, -u / 2, v / 2, u / 2,
+                                     8, interpret=True)
+    np.testing.assert_allclose(np.asarray(w1p), np.asarray(w1r),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(w2p), np.asarray(w2r),
+                               rtol=1e-5, atol=1e-3)
+
+    assert warp_tent_supports_pallas((512, 512), 8)
+    assert warp_tent_supports_pallas((2048, 2048), 8)
+    assert not warp_tent_supports_pallas((4096, 4096), 8)
