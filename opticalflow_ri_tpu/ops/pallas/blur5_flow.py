@@ -186,6 +186,14 @@ def blur5_flow_banded_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
     taps = tuple(float(x) for x in kernel)
     half = len(taps) // 2
     _, rows, cols = m.shape
+    if rows % band or cols % 128:
+        # grid=(rows // band,) would silently truncate, leaving the tail
+        # rows uninitialised — mirror ls_tiled's stripe-height guard rather
+        # than rely on the dispatch-site blur5_flow_banded_supports check
+        raise ValueError(
+            f"blur5_flow_banded_pallas needs rows % band == 0 and "
+            f"cols % 128 == 0; got ({rows}, {cols}) with band {band}"
+        )
     wpad = (-(cols + 2 * half)) % 128
 
     mp = pad2d(m, ((half, half), (half, half)), mode)

@@ -18,24 +18,27 @@ sharded.py).
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
-_CTX = None  # (mesh, interpret) while active
+# context-local (not process-global): a concurrent trace on another thread
+# must not inherit this trace's mesh routing
+_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "kernel_shard_ctx", default=None
+)
 
 
 @contextlib.contextmanager
 def kernel_sharded_solvers(mesh, interpret: bool = False):
-    """While active, HS/LS adapter solves dispatch to the kernel-sharded
-    paths on ``mesh`` when the local tile shapes support them (per-solve
-    graceful fallback otherwise)."""
-    global _CTX
-    prev = _CTX
-    _CTX = (mesh, interpret)
+    """While active, solver adapters (HS/LS/LK/FB) dispatch to the
+    kernel-sharded paths on ``mesh`` when the local tile shapes support them
+    (per-solve graceful fallback otherwise)."""
+    token = _CTX.set((mesh, interpret))
     try:
         yield
     finally:
-        _CTX = prev
+        _CTX.reset(token)
 
 
 def current_kernel_shard():
     """(mesh, interpret) of the active context, or None."""
-    return _CTX
+    return _CTX.get()

@@ -71,7 +71,13 @@ def hs_shard_kernel_supported(h_loc: int, w_loc: int,
 
 def pick_hs_shard_t(mesh, shape, interpret: bool = False) -> int | None:
     """Largest supported T-block for a kernel-sharded HS solve of ``shape``
-    on ``mesh`` (None if no tiling works — caller falls back gracefully)."""
+    on ``mesh`` (None if no tiling works — caller falls back gracefully).
+    Consults the hardware-validated registry: deregistering hs_tiled removes
+    it from every dispatch path, including this one (policy-is-code)."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not is_validated("hs_tiled"):
+        return None
     my = mesh.shape["y"]
     mx = mesh.shape["x"]
     h, w = shape[-2], shape[-1]
@@ -181,7 +187,12 @@ def ls_shard_kernel_supported(h_loc: int, w: int, t_block: int,
 
 
 def pick_ls_shard_t(mesh, shape, interpret: bool = False) -> int | None:
-    """Largest supported T-block for a rows-sharded Liu-Shen kernel solve."""
+    """Largest supported T-block for a rows-sharded Liu-Shen kernel solve.
+    Registry-gated like pick_hs_shard_t."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not is_validated("ls_tiled"):
+        return None
     my = mesh.shape["y"]
     h, w = shape[-2], shape[-1]
     if h % my:
