@@ -150,6 +150,63 @@ def lk_build_planes(slab, g_pair, runs_y, runs_x, hw, h, w, R,
     return t1s, t2s
 
 
+def lk_solve_fields(ipad, jpad, hw: int, R: int, runs_y, runs_x, h: int, w: int):
+    """Iteration-invariant LK solve fields from the FULLY padded image pair
+    (pad width hw + (GRID - hw) + R + 1 on every side): Scharr-style gradient
+    stack over the window offsets, the J slab covering all integer shifts,
+    the inverted structure tensor, the constant window sums, and the
+    non-singular mask.  Shared by the single-device solver below and the
+    row-sharded kernel composition (parallel/sharded_pallas.py), whose
+    padded inputs carry real neighbour halos instead of global edge padding
+    — the math is identical either way."""
+    pad = hw + (_GRID - hw) + R + 1
+
+    # Scharr-style gradients on the padded image (3/10/3 weights).
+    def grads(p):
+        gx = 3.0 * (p[:-2, 2:] + p[2:, 2:] - p[:-2, :-2] - p[2:, :-2]) + 10.0 * (
+            p[1:-1, 2:] - p[1:-1, :-2]
+        )
+        gy = 3.0 * (p[2:, :-2] + p[2:, 2:] - p[:-2, :-2] - p[:-2, 2:]) + 10.0 * (
+            p[2:, 1:-1] - p[:-2, 1:-1]
+        )
+        return gx, gy
+
+    gxp, gyp = grads(ipad)  # on domain [-(pad-1), ...]
+
+    # Core slices covering off in [-hw, GRID-1-hw] relative to each pixel.
+    core_h = h + _GRID - 1
+    core_w = w + _GRID - 1
+    o = pad - 1 - hw  # start of off=-hw in gradient-array coords
+    gx_core = lax.dynamic_slice(gxp, (o, o), (core_h, core_w))
+    gy_core = lax.dynamic_slice(gyp, (o, o), (core_h, core_w))
+    oi = pad - hw
+    i_core = lax.dynamic_slice(ipad, (oi, oi), (core_h, core_w))
+
+    def wsum(x):
+        # ladder mode: fewest VPU adds (see ops/window_sums.py)
+        return _wsum2d(x, runs_y, runs_x, hw, h, w, hierarchical="ladder")
+
+    # Structure tensor (weights are 0/1 so w == w^2).
+    a11 = wsum(gx_core * gx_core)
+    a12 = wsum(gx_core * gy_core)
+    a22 = wsum(gy_core * gy_core)
+    det = a11 * a22 - a12 * a12
+    ok = det >= jnp.float32(_D_EPS)
+    det_safe = jnp.where(ok, det, jnp.float32(1.0))
+    ia11 = a11 / det_safe
+    ia12 = a12 / det_safe
+    ia22 = a22 / det_safe
+
+    c1 = wsum(i_core * gx_core)
+    c2 = wsum(i_core * gy_core)
+
+    g_pair = jnp.stack([gx_core, gy_core])  # (2, core_h, core_w)
+    slab = lax.dynamic_slice(
+        jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
+    )
+    return g_pair, slab, ia11, ia12, ia22, c1, c2, ok
+
+
 def _lk_error_map(ipad, jpad, px, py, ok, hw, win, wgt, pad, h, w):
     """Weighted SAD error map of the final warped window — exact semantics of
     the CL kernel's GetError pass (ref: src/pyrlkDenseLargeW.cl:265-269,
@@ -230,71 +287,30 @@ def lk_dense_solve(im1, im2, u0, v0, half_window: int = 13, n_iter: int = 5,
     ipad = jnp.pad(im1, pad, mode="edge")
     jpad = jnp.pad(im2, pad, mode="edge")
 
-    # Scharr-style gradients on the padded image (3/10/3 weights).
-    def grads(p):
-        c = p[1:-1, 1:-1]
-        gx = 3.0 * (p[:-2, 2:] + p[2:, 2:] - p[:-2, :-2] - p[2:, :-2]) + 10.0 * (
-            p[1:-1, 2:] - p[1:-1, :-2]
-        )
-        gy = 3.0 * (p[2:, :-2] + p[2:, 2:] - p[:-2, :-2] - p[:-2, 2:]) + 10.0 * (
-            p[2:, 1:-1] - p[:-2, 1:-1]
-        )
-        return c, gx, gy
-
-    _, gxp, gyp = grads(ipad)  # on domain [-(pad-1), ...]
-
-    # Core slices covering off in [-hw, GRID-1-hw] relative to each pixel.
+    g_pair, slab, ia11, ia12, ia22, c1, c2, ok = lk_solve_fields(
+        ipad, jpad, hw, R, runs_y, runs_x, h, w
+    )
     core_h = h + _GRID - 1
     core_w = w + _GRID - 1
-    o = pad - 1 - hw  # start of off=-hw in gradient-array coords
-    gx_core = lax.dynamic_slice(gxp, (o, o), (core_h, core_w))
-    gy_core = lax.dynamic_slice(gyp, (o, o), (core_h, core_w))
-    oi = pad - hw
-    i_core = lax.dynamic_slice(ipad, (oi, oi), (core_h, core_w))
-
-    def wsum(x):
-        # ladder mode: fewest VPU adds (see ops/window_sums.py)
-        return _wsum2d(x, runs_y, runs_x, hw, h, w, hierarchical="ladder")
-
-    # Structure tensor (weights are 0/1 so w == w^2).
-    a11 = wsum(gx_core * gx_core)
-    a12 = wsum(gx_core * gy_core)
-    a22 = wsum(gy_core * gy_core)
-    det = a11 * a22 - a12 * a12
-    ok = det >= jnp.float32(_D_EPS)
-    det_safe = jnp.where(ok, det, jnp.float32(1.0))
-    ia11 = a11 / det_safe
-    ia12 = a12 / det_safe
-    ia22 = a22 / det_safe
-
-    c1 = wsum(i_core * gx_core)
-    c2 = wsum(i_core * gy_core)
 
     if impl == "auto":
         impl = _lk_impl(h, w, R)
 
     nshift = 2 * R + 1
-    g_pair = jnp.stack([gx_core, gy_core])  # (2, core_h, core_w)
 
     if impl == "pallas_fused":
         from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_fused_pallas
 
         jj = lax.broadcasted_iota(jnp.float32, (h, w), 1)
         ii = lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        # J rows/cols in [-(hw+R), {h,w}-1 + (GRID-1-hw) + R]
-        lo = pad - hw - R
-        jslab = jpad[lo : lo + core_h + 2 * R, lo : lo + core_w + 2 * R]
+        # slab covers J rows/cols in [-(hw+R), {h,w}-1 + (GRID-1-hw) + R]
         px, py, status = lk_fused_pallas(
-            jslab, g_pair, ia11, ia12, ia22, c1, c2,
+            slab, g_pair, ia11, ia12, ia22, c1, c2,
             ok.astype(jnp.float32), jj + u0 - hw, ii + v0 - hw,
             n_iter, R, hw, runs_y, runs_x,
         )
         return _lk_finish(im1, ipad, jpad, px, py, status, ok, u0, v0, jj, ii,
                           hw, win, wx, wy, pad, h, w, calc_err)
-
-    slab = lax.dynamic_slice(
-        jpad, (oi - R, oi - R), (core_h + 2 * R, core_w + 2 * R)
-    )
 
     if impl == "pallas_striped" or (
         impl == "pallas" and not _lk_build_impl(h, w, R)
@@ -482,6 +498,32 @@ class DenseLucasKanadeAdapter:
     def compute(self, im1, im2, U, V):
         asym = evaluate_vorticity_asym(U, V, self.enableVorticityEnhancement)
         im1 = jnp.asarray(im1)
+
+        # kernel-sharded context (parallel/context.py): inside an
+        # auto-sharded pipeline trace, route the solve through the
+        # rows-sharded build+GN kernel composition on the context's mesh so
+        # multi-chip LK keeps the validated kernels; per-solve graceful
+        # fallback when the local tiles don't support it.  (The GetError map
+        # is a single-chip opt-in — its SAD pass is not sharded.)
+        from opticalflow_ri_tpu.parallel.context import current_kernel_shard
+
+        ctx = current_kernel_shard()
+        if ctx is not None and not self.computeErrorMap:
+            mesh, interp = ctx
+            from opticalflow_ri_tpu.parallel.sharded_pallas import (
+                lk_solve_sharded_kernel, pick_lk_shard_stripe,
+            )
+
+            if pick_lk_shard_stripe(mesh, im1.shape, self.halfWindow,
+                                    self.max_shift, interp) is not None:
+                u, v, _status = lk_solve_sharded_kernel(
+                    mesh, im1, jnp.asarray(im2), jnp.asarray(U),
+                    jnp.asarray(V), half_window=self.halfWindow,
+                    n_iter=self.Niter, asym=asym, max_shift=self.max_shift,
+                    interpret=interp,
+                )
+                return u, v, True
+
         # impl resolved HERE (trace time of any outer jit) so the inner jit's
         # cache key reflects the dispatch decision (e.g. force_xla contexts)
         impl = _lk_impl(im1.shape[0], im1.shape[1], self.max_shift)

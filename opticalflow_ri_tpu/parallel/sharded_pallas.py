@@ -309,6 +309,169 @@ def _ls_kernel_run(mesh, im1, im2, u0, v0, h_reg, max_iter, tol, t_block,
     )
 
 
+# ---------------------------------------------------------------------------
+# Dense Lucas-Kanade (rows-only decomposition)
+# ---------------------------------------------------------------------------
+#
+# LK is the easy case for sharding: given the halo-extended images, every
+# output pixel's Gauss-Newton iteration is independent (the shift planes and
+# structure tensor are iteration-INVARIANT windowed sums), so the whole solve
+# needs exactly ONE halo exchange — the (GRID + R + 1)-row image apron — and
+# zero per-iteration collectives.  Each device then runs the validated
+# build+GN kernel pair (ops/pallas/lk_build.py, lk_iter.py) on its local row
+# block, stripe-staged exactly like the single-chip large-image path; the GN
+# kernel's row0/img_h globals keep the out-of-bounds bail and window-origin
+# tracking in global coordinates.  Ref: src/pyrlkDenseLargeW.cl:304-669 (the
+# per-pixel kernel whose TPU replacement this keeps in multi-chip runs).
+
+_LK_GRID = 32  # the CL kernel's 32-sample window grid
+
+
+def _lk_halo(hw: int, R: int) -> int:
+    """Image apron rows each side: window offsets span [-hw, GRID-1-hw],
+    shifts [-R, R], gradients +-1 (matches models.lucas_kanade's pad)."""
+    return _LK_GRID + R + 1
+
+
+def pick_lk_shard_stripe(mesh, shape, half_window: int = 13,
+                         max_shift: int = 5,
+                         interpret: bool = False) -> int | None:
+    """Stripe height for a rows-sharded kernel LK solve of ``shape`` on
+    ``mesh`` (None -> caller falls back to the GSPMD/XLA path).  Gated on
+    the hardware-validated registry like every kernel dispatch."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not (is_validated("lk_build") and is_validated("lk_gn")):
+        return None
+    my = mesh.shape["y"]
+    h, w = shape[-2], shape[-1]
+    if h % my:
+        return None
+    h_loc = h // my
+    if my > 1 and h_loc < _lk_halo(half_window, max_shift):
+        return None  # halo would exceed the neighbour tile extent
+    if interpret:
+        return h_loc
+    from opticalflow_ri_tpu.ops.pallas.lk_build import (
+        lk_build_supports_pallas, lk_striped_height,
+    )
+    from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
+
+    if not lk_gn_supports_pallas(h_loc, w, max_shift):
+        return None
+    if lk_build_supports_pallas(h_loc, w, max_shift):
+        return h_loc
+    if is_validated("lk_striped"):
+        return lk_striped_height(h_loc, w, max_shift)
+    return None
+
+
+def _lk_body_shardkernel(im1, im2, u0, v0, *, hw, n_iter, R, asym, stripe,
+                         interpret):
+    from opticalflow_ri_tpu.models import lucas_kanade as lk
+    from opticalflow_ri_tpu.oracle.lucas_kanade import window_mask
+    from opticalflow_ri_tpu.ops.window_sums import runs_from_mask
+    from opticalflow_ri_tpu.ops.pallas.lk_build import lk_build_planes_pallas
+    from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_iterate_pallas
+
+    h_loc, w = im1.shape[-2], im1.shape[-1]
+    p = lax.axis_size("y")
+    row0 = lax.axis_index("y") * h_loc
+    h_glob = h_loc * p
+
+    win = 2 * hw + 1
+    runs_x = runs_from_mask(window_mask(win, asym[0], asym[1]))
+    runs_y = runs_from_mask(window_mask(win, asym[2], asym[3]))
+
+    pad = _lk_halo(hw, R)
+
+    def pad_full(z):
+        # y apron: real neighbour rows (interior) / replicate (global border
+        # == the single-device jnp.pad edge); x spans the full width, so
+        # plain edge padding IS the global rule
+        zy = exchange_halo(z, ((pad, pad), (0, 0)), "nearest")
+        return jnp.pad(zy, ((0, 0), (pad, pad)), mode="edge")
+
+    ipad = pad_full(im1.astype(jnp.float32))
+    jpad = pad_full(im2.astype(jnp.float32))
+    g_pair, slab, ia11, ia12, ia22, c1, c2, ok = lk.lk_solve_fields(
+        ipad, jpad, hw, R, runs_y, runs_x, h_loc, w
+    )
+
+    jj = lax.broadcasted_iota(jnp.float32, (h_loc, w), 1)
+    ii = (lax.broadcasted_iota(jnp.float32, (h_loc, w), 0)
+          + row0.astype(jnp.float32))
+    u0 = u0.astype(jnp.float32)
+    v0 = v0.astype(jnp.float32)
+    px0 = jj + u0 - hw
+    py0 = ii + v0 - hw
+
+    core_w = w + _LK_GRID - 1
+    parts = []
+    for s0 in range(0, h_loc, stripe):
+        sh = min(stripe, h_loc - s0)
+        slab_s = lax.dynamic_slice(
+            slab, (s0, 0), (sh + _LK_GRID - 1 + 2 * R, slab.shape[1]))
+        g_s = lax.dynamic_slice(
+            g_pair, (0, s0, 0), (2, sh + _LK_GRID - 1, core_w))
+        t1s, t2s = lk_build_planes_pallas(slab_s, g_s, hw, R, runs_y, runs_x,
+                                          interpret=interpret)
+        sl = slice(s0, s0 + sh)
+        parts.append(lk_gn_iterate_pallas(
+            t1s, t2s, ia11[sl], ia12[sl], ia22[sl], c1[sl], c2[sl],
+            ok[sl], px0[sl], py0[sl], n_iter, R, hw,
+            row0=row0 + s0, img_h=h_glob, img_w=w, interpret=interpret,
+        ))
+    if len(parts) == 1:
+        px, py, status = parts[0]
+    else:
+        px = jnp.concatenate([q[0] for q in parts], axis=0)
+        py = jnp.concatenate([q[1] for q in parts], axis=0)
+        status = jnp.concatenate([q[2] for q in parts], axis=0)
+
+    u = jnp.where(ok, px + hw - jj, u0)
+    v = jnp.where(ok, py + hw - ii, v0)
+    status = jnp.where(ok, status, 0.0)
+    return u, v, status
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "hw", "n_iter", "R", "asym", "stripe",
+                          "interpret"))
+def _lk_kernel_run(mesh, im1, im2, u0, v0, hw, n_iter, R, asym, stripe,
+                   interpret):
+    spec = P("y", None)
+    f = shard_map(
+        partial(_lk_body_shardkernel, hw=hw, n_iter=n_iter, R=R, asym=asym,
+                stripe=stripe, interpret=interpret),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return f(
+        im1.astype(jnp.float32), im2.astype(jnp.float32),
+        u0.astype(jnp.float32), v0.astype(jnp.float32),
+    )
+
+
+def lk_solve_sharded_kernel(mesh, im1, im2, u0, v0, half_window: int = 13,
+                            n_iter: int = 5, asym=(0, 0, 0, 0),
+                            max_shift: int = 5, interpret: bool = False):
+    """Rows-sharded dense LK running the validated build+GN Pallas kernels
+    per device; same contract as models.lucas_kanade.lk_dense_solve
+    (returns (u, v, status))."""
+    stripe = pick_lk_shard_stripe(mesh, im1.shape, half_window, max_shift,
+                                  interpret)
+    if stripe is None:
+        raise ValueError(
+            f"lk kernel-sharded path unsupported for shape "
+            f"{tuple(im1.shape)} on mesh y={mesh.shape['y']}")
+    return _lk_kernel_run(mesh, im1, im2, u0, v0, int(half_window),
+                          int(n_iter), int(max_shift), tuple(asym),
+                          int(stripe), bool(interpret))
+
+
 def liu_shen_solve_sharded_kernel(mesh, im1, im2, h_reg, u0, v0,
                                   max_iter: int = 60, tol: float = 1e-8,
                                   t_block: int = 20, interpret: bool = False):

@@ -116,6 +116,118 @@ def test_ls_kernel_sharded_matches_single_device():
 
 
 @needs_devices
+def test_lk_kernel_sharded_matches_single_device():
+    """Rows-sharded per-device build+GN LK kernels (one image-apron halo
+    exchange, zero per-iteration collectives) == unsharded solve, including
+    the global out-of-bounds bail coordinates and the singular-window mask."""
+    from opticalflow_ri_tpu.parallel.sharded_pallas import lk_solve_sharded_kernel
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    mesh = _mesh_y8()  # y=8: local tiles get REAL neighbour halos
+    rng = np.random.default_rng(3)
+    h, w = 384, 128  # local tiles (48, 128) >= the 38-row apron
+    im1 = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (h, w)).astype(np.float32))
+    z = jnp.zeros((h, w), jnp.float32)
+
+    us, vs, ss = lk_solve_sharded_kernel(mesh, im1, im2, z, z, interpret=True)
+    ux, vx, sx = lk_dense_solve(im1, im2, z, z, impl="xla")
+    du = np.abs(np.asarray(us) - np.asarray(ux))
+    dv = np.abs(np.asarray(vs) - np.asarray(vx))
+    # LK's 0.01-delta early exit amplifies f32 round-off for borderline
+    # pixels; assert the bulk plus a tight AEE, like the dryrun/auto tests
+    bulk = float(((du < 1e-3) & (dv < 1e-3)).mean())
+    assert bulk > 0.99, bulk
+    assert float(np.mean(np.hypot(du, dv))) < 1e-3
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(sx))
+
+
+@needs_devices
+def test_lk_kernel_sharded_flow_init_and_asym_window():
+    from opticalflow_ri_tpu.parallel.sharded_pallas import lk_solve_sharded_kernel
+    from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+    devs = np.array(jax.devices()[:2]).reshape(1, 2, 1)
+    from jax.sharding import Mesh as _M
+    mesh = _M(devs, ("batch", "y", "x"))
+    rng = np.random.default_rng(4)
+    h, w = 96, 128
+    im1 = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    im2 = jnp.roll(im1, (0, 1), axis=(0, 1))
+    u0 = jnp.full((h, w), 0.5, jnp.float32)
+    v0 = jnp.full((h, w), -0.25, jnp.float32)
+
+    us, vs, ss = lk_solve_sharded_kernel(mesh, im1, im2, u0, v0,
+                                         asym=(0, 1, 0, 1), interpret=True)
+    ux, vx, sx = lk_dense_solve(im1, im2, u0, v0, asym=(0, 1, 0, 1),
+                                impl="xla")
+    du = np.abs(np.asarray(us) - np.asarray(ux))
+    dv = np.abs(np.asarray(vs) - np.asarray(vx))
+    bulk = float(((du < 1e-3) & (dv < 1e-3)).mean())
+    assert bulk > 0.99, bulk
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(sx))
+
+
+@needs_devices
+def test_lk_shard_pick_gating():
+    """pick_lk_shard_stripe: registry-gated, divisibility- and halo-gated."""
+    import opticalflow_ri_tpu.ops.pallas.validated as val
+    from opticalflow_ri_tpu.parallel.sharded_pallas import pick_lk_shard_stripe
+
+    mesh = _mesh_y8()
+    assert pick_lk_shard_stripe(mesh, (384, 128), interpret=True) == 48
+    # rows not divisible by the mesh
+    assert pick_lk_shard_stripe(mesh, (100, 128), interpret=True) is None
+    # local tile thinner than the 38-row apron
+    assert pick_lk_shard_stripe(mesh, (128, 128), interpret=True) is None
+    # deregistering the kernels removes the path (policy-is-code)
+    orig = val.VALIDATED_KERNELS
+    val.VALIDATED_KERNELS = {k: v for k, v in orig.items() if k != "lk_gn"}
+    try:
+        assert pick_lk_shard_stripe(mesh, (384, 128), interpret=True) is None
+    finally:
+        val.VALIDATED_KERNELS = orig
+
+
+@needs_devices
+def test_auto_pipeline_routes_lk_to_sharded_kernels(piv_pair_medium):
+    """A sharded denseLK_Fs2_0 run keeps the validated LK kernels (the
+    round-4 verdict's missing #1): the adapter's solver-context route calls
+    lk_solve_sharded_kernel instead of tracing the solve under force_xla —
+    and the result still matches the single-device pipeline."""
+    import opticalflow_ri_tpu.parallel.sharded_pallas as sp
+    from opticalflow_ri_tpu.parallel import auto
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    im1, im2, _, _ = piv_pair_medium  # (160, 128): local tiles (80, 128)
+    mesh = make_mesh(8)
+
+    calls = {"lk": 0}
+    orig_lk = sp.lk_solve_sharded_kernel
+
+    def lk_rec(*a, **k):
+        calls["lk"] += 1
+        return orig_lk(*a, **k)
+
+    sp.lk_solve_sharded_kernel = lk_rec
+    try:
+        fn = auto.auto_sharded_pipeline("denseLK_Fs2_0", mesh,
+                                        kernel_interpret=True)
+        u8, v8 = fn(jnp.asarray(im1), jnp.asarray(im2))
+        assert calls["lk"] >= 1, "sharded LK config did not route to kernels"
+    finally:
+        sp.lk_solve_sharded_kernel = orig_lk
+
+    u1, v1 = compiled_pipeline("denseLK_Fs2_0")(jnp.asarray(im1),
+                                                jnp.asarray(im2))
+    du = np.abs(np.asarray(u8) - np.asarray(u1))
+    dv = np.abs(np.asarray(v8) - np.asarray(v1))
+    bulk = float(((du < 1e-3) & (dv < 1e-3)).mean())
+    assert bulk > 0.99, bulk
+
+
+@needs_devices
 def test_ls_sharded_dispatch_routes_to_kernel():
     import opticalflow_ri_tpu.parallel.sharded as sharded
     import opticalflow_ri_tpu.ops.pallas as pallas_pkg
