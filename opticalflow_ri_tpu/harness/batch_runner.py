@@ -36,12 +36,25 @@ class FlowBatchRunner:
     def __init__(self, config_name: str, batch_size: int = 4,
                  output_dir: str = "flow_out", save_outputs: bool = True,
                  checkpoint_every: int = 1, profile_dir: str | None = None,
-                 pipeline: str = "scan"):
+                 pipeline: str = "scan", mesh=None):
         if pipeline not in ("scan", "batched"):
             raise ValueError(f"pipeline must be 'scan' or 'batched', got {pipeline!r}")
         self.config_name = config_name
         self.pipeline = pipeline
         self.batch_size = int(batch_size)
+        # ``mesh``: shard each batch over the mesh 'batch' axis — every
+        # device streams its own slice of the campaign through the
+        # validated-kernel scan pipeline, zero collectives
+        # (parallel/batch_stream.py)
+        self.mesh = mesh
+        if mesh is not None:
+            if pipeline != "scan":
+                raise ValueError("mesh campaigns use the scan pipeline")
+            nb = mesh.shape["batch"]
+            if self.batch_size % nb:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must be a multiple of the "
+                    f"mesh batch axis ({nb})")
         self.output_dir = output_dir
         self.save_outputs = save_outputs
         self.checkpoint_every = checkpoint_every
@@ -85,6 +98,9 @@ class FlowBatchRunner:
         """
         import jax
         from opticalflow_ri_tpu.compile import batched_pipeline, scan_pipeline
+        from opticalflow_ri_tpu.parallel.batch_stream import (
+            batch_sharded_scan, batch_sharding,
+        )
         from opticalflow_ri_tpu.utils.io import load_image_batch, save_flow
 
         state = self._load_checkpoint()
@@ -98,8 +114,14 @@ class FlowBatchRunner:
         if not todo:
             return state
 
-        fn = (scan_pipeline if self.pipeline == "scan"
-              else batched_pipeline)(self.config_name)
+        if self.mesh is not None:
+            fn = batch_sharded_scan(self.config_name, self.mesh)
+            put_sharding = batch_sharding(self.mesh)
+            device_put = lambda a: jax.device_put(a, put_sharding)
+        else:
+            fn = (scan_pipeline if self.pipeline == "scan"
+                  else batched_pipeline)(self.config_name)
+            device_put = jax.device_put
 
         batches = [todo[i : i + self.batch_size]
                    for i in range(0, len(todo), self.batch_size)]
@@ -118,7 +140,8 @@ class FlowBatchRunner:
                         im1 = np.concatenate([im1, np.repeat(im1[-1:], pad, 0)])
                         im2 = np.concatenate([im2, np.repeat(im2[-1:], pad, 0)])
                     # async H2D: overlaps the tunnel upload with compute
-                    in_q.put((names, jax.device_put(im1), jax.device_put(im2)))
+                    # (pre-sharded over the mesh batch axis when meshed)
+                    in_q.put((names, device_put(im1), device_put(im2)))
                 except Exception as e:  # pragma: no cover - IO failure path
                     in_q.put((names, e, None))
             in_q.put(None)
@@ -232,11 +255,20 @@ def main():
     ap.add_argument("--out", default="flow_out")
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--pipeline", choices=("scan", "batched"), default="scan")
+    ap.add_argument("--mesh-batch", type=int, default=0,
+                    help="shard each batch over N devices (mesh batch axis); "
+                         "batch-size must be a multiple of N")
     args = ap.parse_args()
+
+    mesh = None
+    if args.mesh_batch > 1:
+        from opticalflow_ri_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_batch, batch=args.mesh_batch)
 
     runner = FlowBatchRunner(args.config, batch_size=args.batch_size,
                              output_dir=args.out, profile_dir=args.profile_dir,
-                             pipeline=args.pipeline)
+                             pipeline=args.pipeline, mesh=mesh)
     state = runner.run(pairs_from_glob(args.glob0, args.glob1))
     done = len(state.get("done", []))
     failed = len(state.get("failed", []))

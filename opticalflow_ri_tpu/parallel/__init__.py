@@ -19,8 +19,13 @@ from opticalflow_ri_tpu.parallel.sharded import (
     liu_shen_solve_sharded,
     batched_hs_pipeline,
 )
+from opticalflow_ri_tpu.parallel.batch_stream import (
+    batch_sharded_scan,
+    batch_sharding,
+)
 
 __all__ = [
     "make_mesh", "mesh_shape_for", "exchange_halo",
     "hs_solve_sharded", "liu_shen_solve_sharded", "batched_hs_pipeline",
+    "batch_sharded_scan", "batch_sharding",
 ]

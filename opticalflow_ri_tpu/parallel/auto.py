@@ -130,6 +130,20 @@ def auto_sharded_pipeline(name: str, mesh: Mesh, batch: bool = False,
     sharding = NamedSharding(mesh, spec)
     fn = pipeline_fn(name)
     if batch:
+        import warnings
+
+        # vmapping the pipeline pins every solver to XLA (shard_map inside
+        # vmap is not a supported composition), so this route forfeits the
+        # validated kernels.  The campaign construct that KEEPS them is
+        # batch_sharded_scan (parallel/batch_stream.py): shard_map over the
+        # 'batch' axis with a per-device validated-kernel scan stream.
+        warnings.warn(
+            "auto_sharded_pipeline(batch=True) on a multi-device mesh runs "
+            "pure-GSPMD XLA (no Pallas kernels); for campaign streaming use "
+            "parallel.batch_sharded_scan, which keeps the validated kernels "
+            "per device",
+            stacklevel=2,
+        )
         fn = jax.vmap(fn)
 
     def wrapped(im1, im2):
