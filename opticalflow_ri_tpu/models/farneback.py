@@ -179,13 +179,17 @@ def update_matrices(flowx, flowy, r0, r1, sample_max_shift: int | None = 5):
     return assemble_m(s, r0, flowx, flowy, inside)
 
 
-def assemble_m(s, r0, flowx, flowy, inside):
+def assemble_m(s, r0, flowx, flowy, inside, row0=0, img_rows: int | None = None):
     """The non-sampling tail of updateMatrices: difference blend, border
     attenuation ramp and normal-equation products
     (ref: optical_flow_farneback.cl:310-346).  Shared by the XLA sampler
-    above and the channel-blocked Pallas sampler
-    (ops/pallas/tent_sample.py:update_matrices_channel_pallas)."""
+    above, the channel-blocked Pallas sampler
+    (ops/pallas/tent_sample.py:update_matrices_channel_pallas) and the
+    rows-sharded Farneback iteration (parallel/sharded_pallas.py), whose
+    tiles cover global rows [row0, row0 + rows) of an img_rows-tall image —
+    the border ramp attenuates at GLOBAL borders only."""
     rows, cols = flowx.shape
+    img_rows = rows if img_rows is None else img_rows
     r2 = jnp.where(inside, s[0], 0.0)
     r3 = jnp.where(inside, s[1], 0.0)
     r4 = jnp.where(inside, (r0[2] + s[2]) * 0.5, r0[2])
@@ -199,10 +203,11 @@ def assemble_m(s, r0, flowx, flowy, inside):
 
     ramp = jnp.asarray(BORDER_RAMP)
     xi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) + row0
     scale = (
         ramp[jnp.minimum(xi, 5)] * ramp[jnp.minimum(yi, 5)]
-        * ramp[jnp.minimum(cols - xi - 1, 5)] * ramp[jnp.minimum(rows - yi - 1, 5)]
+        * ramp[jnp.minimum(cols - xi - 1, 5)]
+        * ramp[jnp.minimum(img_rows - yi - 1, 5)]
     )
     r2 = r2 * scale
     r3 = r3 * scale
@@ -432,6 +437,35 @@ class FarnebackAdapter:
 
     def compute(self, im1, im2, U, V):
         from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+
+        im1 = jnp.asarray(im1)
+
+        # kernel-sharded context (parallel/context.py): inside an
+        # auto-sharded pipeline trace, run the per-level iteration loop
+        # rows-sharded with per-device validated kernels (um_channel +
+        # blur5) so multi-chip Farneback keeps the kernel wins; per-level
+        # graceful fallback inside farneback_solve_sharded.
+        from opticalflow_ri_tpu.parallel.context import current_kernel_shard
+
+        ctx = current_kernel_shard()
+        if ctx is not None:
+            mesh, interp = ctx
+            from opticalflow_ri_tpu.parallel.sharded_pallas import (
+                farneback_solve_sharded, fb_shard_supported,
+            )
+
+            if fb_shard_supported(mesh, im1.shape, self.windowSize,
+                                  interpret=interp):
+                fx, fy = farneback_solve_sharded(
+                    mesh, im1, jnp.asarray(im2), jnp.asarray(U),
+                    jnp.asarray(V), window_size=self.windowSize,
+                    n_iters=self.numIters, poly_n=self.polyN,
+                    poly_sigma=float(self.polySigma),
+                    use_gaussian=self.useGaussianFilter,
+                    pyr_scale=float(self.pyrScale),
+                    pyr_levels=self.pyramidalLevels, interpret=interp,
+                )
+                return fx, fy, "Unknown"
 
         # impl resolved HERE (trace time of any outer jit) so the inner jit's
         # cache key reflects the dispatch decision (e.g. force_xla contexts)

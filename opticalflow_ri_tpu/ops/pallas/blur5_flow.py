@@ -79,34 +79,27 @@ def blur5_flow_supports_pallas(shape, ksize: int) -> bool:
     return mp_bytes <= 48 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))
-def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
-                      band: int = 16, interpret: bool = False):
-    # band 16 keeps the scoped-VMEM footprint under XLA's ~18 MB cap for
-    # custom calls inside while/scan bodies (observed: band 64 requested
-    # 27 MB inside lax.scan and failed to allocate)
-    """Blur the 5-plane field with the separable 1-D ``kernel`` (border
-    ``mode``) and solve for flow; returns (flowx, flowy)."""
-    taps = tuple(float(w) for w in kernel)
+def blur5_flow_call(mp, taps: tuple, rp: int, cp: int, scale: float,
+                    band: int = 16, interpret: bool = False):
+    """Whole-M-resident blur+solve from a PRE-PADDED field: ``mp`` is
+    (5, rp + 2*half, cp + 2*half) — half-deep semantic halo (border-rule
+    padding on a single device, real neighbour rows from exchange_halo in
+    the sharded composition) plus the caller's tile-alignment zero pad
+    folded into rp/cp.  Returns (rp, cp) flow planes (alignment tail is
+    garbage — crop).  Shared by blur5_flow_pallas and the rows-sharded
+    Farneback iteration (parallel/sharded_pallas.py)."""
     n = len(taps)
     half = n // 2
-    _, rows, cols = m.shape
-    ph, pw = _align2(rows, cols)
-    rp, cp = rows + ph, cols + pw
     while band > 8 and rp % band != 0:
         band //= 2
     assert rp % band == 0
-
-    # semantic border pad first, then the tile-alignment zero pad (true
-    # pixels only ever read the semantic halo; padded outputs are cropped)
-    mp = pad2d(m, ((half, half), (half, half)), mode)
-    mp = jnp.pad(mp, ((0, 0), (0, ph), (0, pw)))
+    assert mp.shape == (5, rp + 2 * half, cp + 2 * half), (mp.shape, rp, cp)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     band2 = pl.BlockSpec((band, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    fxp, fyp = pl.pallas_call(
-        partial(_blur5_flow_kernel, taps=taps, rows=rows, cols=cols,
+    return pl.pallas_call(
+        partial(_blur5_flow_kernel, taps=taps, rows=rp, cols=cp,
                 band=band, scale=float(scale)),
         out_shape=(
             jax.ShapeDtypeStruct((rp, cp), jnp.float32),
@@ -119,12 +112,34 @@ def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(rows) * cols * 5 * (4 * n + 10),
-            bytes_accessed=(5 * rows * cols + 2 * rows * cols) * 4,
+            flops=int(rp) * cp * 5 * (4 * n + 10),
+            bytes_accessed=(5 * rp * cp + 2 * rp * cp) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(mp.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("kernel", "mode", "scale", "band", "interpret"))
+def blur5_flow_pallas(m, kernel: tuple, mode: str, scale: float = 1.0,
+                      band: int = 16, interpret: bool = False):
+    # band 16 keeps the scoped-VMEM footprint under XLA's ~18 MB cap for
+    # custom calls inside while/scan bodies (observed: band 64 requested
+    # 27 MB inside lax.scan and failed to allocate)
+    """Blur the 5-plane field with the separable 1-D ``kernel`` (border
+    ``mode``) and solve for flow; returns (flowx, flowy)."""
+    taps = tuple(float(w) for w in kernel)
+    half = len(taps) // 2
+    _, rows, cols = m.shape
+    ph, pw = _align2(rows, cols)
+    rp, cp = rows + ph, cols + pw
+
+    # semantic border pad first, then the tile-alignment zero pad (true
+    # pixels only ever read the semantic halo; padded outputs are cropped)
+    mp = pad2d(m, ((half, half), (half, half)), mode)
+    mp = jnp.pad(mp, ((0, 0), (0, ph), (0, pw)))
+
+    fxp, fyp = blur5_flow_call(mp, taps, rp, cp, float(scale), band, interpret)
     return fxp[:rows, :cols], fyp[:rows, :cols]
 
 

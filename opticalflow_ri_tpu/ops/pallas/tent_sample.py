@@ -240,6 +240,50 @@ def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
     return ch_bytes <= 18 * 1024 * 1024
 
 
+def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
+                             interpret: bool = False):
+    """Channel-blocked tent sampling from a PRE-PADDED R1 field: ``r1p`` is
+    (5, rp + 2R+1, cp + 2R+1) — (R, R+1)-deep semantic halo (edge padding on
+    a single device, real neighbour rows from exchange_halo in the sharded
+    composition) followed by the caller's (rp - rows) tile-alignment zero
+    pad; ``fxp``/``fyp`` are (rp, cp).  Returns the sampled field (5, rp, cp)
+    (tail alignment rows/cols are garbage — crop).  Shared by
+    update_matrices_channel_pallas and parallel/sharded_pallas.py's
+    rows-sharded Farneback iteration."""
+    rp, cp = fxp.shape
+    while band > 8 and rp % band != 0:
+        band //= 2
+    band = min(band, rp)
+    assert rp % band == 0
+    assert r1p.shape == (5, rp + 2 * R + 1, cp + 2 * R + 1), (
+        r1p.shape, rp, cp)
+
+    chan = pl.BlockSpec((1, r1p.shape[1], r1p.shape[2]),
+                        lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM)
+    band2 = pl.BlockSpec((band, cp), lambda c, i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec((1, band, cp), lambda c, i: (c, i, 0),
+                           memory_space=pltpu.VMEM)
+    nshift = 2 * R + 1
+    return pl.pallas_call(
+        partial(_tent_sample_channel_kernel, R=R, band=band),
+        out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
+        grid=(5, rp // band),
+        in_specs=[chan, band2, band2],
+        out_specs=outspec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * rp * cp * (nshift * nshift + 3 * nshift) * 2,
+            bytes_accessed=(r1p.size + 2 * fxp.size + 5 * rp * cp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r1p.astype(jnp.float32), fxp.astype(jnp.float32),
+      fyp.astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
 def update_matrices_channel_pallas(flowx, flowy, r0, r1,
                                    sample_max_shift: int = 5,
@@ -254,40 +298,13 @@ def update_matrices_channel_pallas(flowx, flowy, r0, r1,
     R = int(sample_max_shift)
     _, rows, cols = r0.shape
     ph, pw = _align2(rows, cols)
-    rp, cp = rows + ph, cols + pw
-    while band > 8 and rp % band != 0:
-        band //= 2
-    band = min(band, rp)
-    assert rp % band == 0
 
     r1p = jnp.pad(r1, ((0, 0), (R, R + 1), (R, R + 1)), mode="edge")
     r1p = jnp.pad(r1p, ((0, 0), (0, ph), (0, pw)))
     fxp = jnp.pad(flowx, ((0, ph), (0, pw)))
     fyp = jnp.pad(flowy, ((0, ph), (0, pw)))
 
-    chan = pl.BlockSpec((1, r1p.shape[1], r1p.shape[2]),
-                        lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM)
-    band2 = pl.BlockSpec((band, cp), lambda c, i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    outspec = pl.BlockSpec((1, band, cp), lambda c, i: (c, i, 0),
-                           memory_space=pltpu.VMEM)
-    nshift = 2 * R + 1
-    s = pl.pallas_call(
-        partial(_tent_sample_channel_kernel, R=R, band=band),
-        out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
-        grid=(5, rp // band),
-        in_specs=[chan, band2, band2],
-        out_specs=outspec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=5 * rows * cols * (nshift * nshift + 3 * nshift) * 2,
-            bytes_accessed=(r1p.size + 2 * flowx.size + 5 * rows * cols) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(r1p, fxp, fyp)
+    s = tent_sample_channel_call(r1p, fxp, fyp, R, band, interpret)
     s = s[:, :rows, :cols]
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)

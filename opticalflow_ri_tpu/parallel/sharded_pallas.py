@@ -310,6 +310,209 @@ def _ls_kernel_run(mesh, im1, im2, u0, v0, h_reg, max_iter, tol, t_block,
 
 
 # ---------------------------------------------------------------------------
+# Farneback (rows-only decomposition of the per-level iteration loop)
+# ---------------------------------------------------------------------------
+#
+# The Farneback hot loop — updateMatrices (tent sampling + M assembly) and
+# the fused window-blur+flow-solve, n_iters times per level — dominates the
+# solve (scripts/fb_breakdown.json: 2.23 of 2.91 ms at 512^2).  Both of its
+# validated kernels take CALLER-padded fields and do valid-only work
+# (ops/pallas/tent_sample.py:tent_sample_channel_call,
+# blur5_flow.py:blur5_flow_call), so they compose into shard_map with
+# exchange_halo supplying the padding and ZERO kernel changes:
+#
+#   * R1 is iteration-INVARIANT: its (R, R+1)-row sampling apron is
+#     exchanged once per level, not per iteration;
+#   * the flow fields feeding the tent contraction are per-pixel local —
+#     updateMatrices needs NO per-iteration collective at all;
+#   * only the blurred M needs fresh halos: one (half = windowSize//2)-row
+#     exchange per iteration, the collective schedule the reference's
+#     whole-image blur implies (ref: src/optical_flow_farneback.cl:198-253);
+#   * the M assembly's inside-mask and border-attenuation ramp take global
+#     row coordinates (models.farneback.assemble_m row0/img_rows).
+#
+# Pyramid glue (bit-exact blur, PIL-BILINEAR resize, polynomial expansion)
+# stays outside the shard_map — GSPMD partitions those dense separable ops
+# well; the kernels the partitioner CANNOT handle are exactly the loop ones.
+# Ref: src/optical_flow_farneback.cl:198-429 (the kernels whose TPU
+# replacements this keeps in multi-chip runs).
+
+def fb_shard_supported(mesh, shape, window_size: int, R: int = 5,
+                       interpret: bool = False) -> bool:
+    """Can the rows-sharded Farneback iteration run for a level of ``shape``
+    on ``mesh``?  Registry-gated; per-level graceful fallback otherwise."""
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    if not (is_validated("um_channel") and is_validated("blur5")):
+        return False
+    my = mesh.shape["y"]
+    h, w = shape[-2], shape[-1]
+    if h % my:
+        return False
+    h_loc = h // my
+    half = window_size // 2
+    # the blur halo needs half (+1 for the mirror rule's edge exclusion)
+    # rows from each neighbour; the sampler halo needs R+1
+    if my > 1 and h_loc < max(half + 1, R + 1):
+        return False  # halo would exceed the neighbour tile extent
+    if interpret:
+        return True
+    from opticalflow_ri_tpu.ops.pallas.blur5_flow import blur5_flow_supports_pallas
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_channel_supports_pallas,
+    )
+
+    return (update_matrices_channel_supports_pallas((5, h_loc, w), R)
+            and blur5_flow_supports_pallas((5, h_loc, w), window_size))
+
+
+def _fb_iter_body(r0, r1, fx, fy, *, taps, mode, post_scale, n_iters, R,
+                  h_glob, interpret):
+    from opticalflow_ri_tpu.models import farneback as fb
+    from opticalflow_ri_tpu.ops.padding import pad2d
+    from opticalflow_ri_tpu.ops.pallas.blur5_flow import blur5_flow_call
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        tent_sample_channel_call,
+    )
+
+    _, h_loc, w = r0.shape
+    row0 = lax.axis_index("y") * h_loc
+    half = len(taps) // 2
+    ph, pw = (-h_loc) % 8, (-w) % 128
+    rp, cp = h_loc + ph, w + pw
+
+    # R1 sampling apron: once per level (iteration-invariant)
+    r1p = exchange_halo(r1, ((R, R + 1), (0, 0)), "nearest")
+    r1p = jnp.pad(r1p, ((0, 0), (0, 0), (R, R + 1)), mode="edge")
+    r1p = jnp.pad(r1p, ((0, 0), (0, ph), (0, pw)))
+
+    ys = (lax.broadcasted_iota(jnp.float32, (h_loc, w), 0)
+          + row0.astype(jnp.float32))
+    xs = lax.broadcasted_iota(jnp.float32, (h_loc, w), 1)
+
+    def um(fx, fy):
+        fxp = jnp.pad(fx, ((0, ph), (0, pw)))
+        fyp = jnp.pad(fy, ((0, ph), (0, pw)))
+        s = tent_sample_channel_call(r1p, fxp, fyp, R,
+                                     interpret=interpret)[:, :h_loc, :w]
+        x1i = jnp.floor(xs + fx)
+        y1i = jnp.floor(ys + fy)
+        inside = ((x1i >= 0) & (y1i >= 0)
+                  & (x1i < w - 1) & (y1i < h_glob - 1))
+        return fb.assemble_m(s, r0, fx, fy, inside, row0=row0,
+                             img_rows=h_glob)
+
+    def blur_flow(m):
+        mp = exchange_halo(m, ((half, half), (0, 0)), mode)
+        mp = pad2d(mp, ((0, 0), (half, half)), mode)
+        mp = jnp.pad(mp, ((0, 0), (0, ph), (0, pw)))
+        fxn, fyn = blur5_flow_call(mp, taps, rp, cp, post_scale,
+                                   interpret=interpret)
+        return fxn[:h_loc, :w], fyn[:h_loc, :w]
+
+    m = um(fx.astype(jnp.float32), fy.astype(jnp.float32))
+    for i in range(n_iters):
+        fx, fy = blur_flow(m)
+        if i < n_iters - 1:
+            m = um(fx, fy)
+    return fx, fy
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "taps", "mode", "post_scale", "n_iters",
+                          "R", "h_glob", "interpret"))
+def _fb_iter_run(mesh, r0, r1, fx, fy, taps, mode, post_scale, n_iters, R,
+                 h_glob, interpret):
+    spec3 = P(None, "y", None)
+    spec2 = P("y", None)
+    f = shard_map(
+        partial(_fb_iter_body, taps=taps, mode=mode, post_scale=post_scale,
+                n_iters=n_iters, R=R, h_glob=h_glob, interpret=interpret),
+        mesh=mesh,
+        in_specs=(spec3, spec3, spec2, spec2),
+        out_specs=(spec2, spec2),
+        check_vma=False,
+    )
+    return f(r0.astype(jnp.float32), r1.astype(jnp.float32),
+             fx.astype(jnp.float32), fy.astype(jnp.float32))
+
+
+def farneback_iterate_sharded(mesh, r0, r1, fx, fy, window_size: int,
+                              use_gaussian: bool, n_iters: int, R: int = 5,
+                              interpret: bool = False):
+    """One Farneback level's iteration loop, rows-sharded with per-device
+    validated kernels (see the section comment); same numerics contract as
+    the single-device loop in models.farneback.farneback_solve."""
+    from opticalflow_ri_tpu.models.farneback import _window_blur_spec
+
+    k, mode, post_scale = _window_blur_spec(window_size, use_gaussian)
+    return _fb_iter_run(mesh, r0, r1, fx, fy,
+                        tuple(float(x) for x in k), mode, float(post_scale),
+                        int(n_iters), int(R), int(r0.shape[-2]),
+                        bool(interpret))
+
+
+def farneback_solve_sharded(mesh, im1, im2, u0, v0, window_size=33,
+                            n_iters=5, poly_n=7, poly_sigma=1.5,
+                            use_gaussian=True, pyr_scale=0.5, pyr_levels=1,
+                            sample_max_shift: int = 5,
+                            interpret: bool = False):
+    """Whole Farneback pipeline with the per-level iteration loop
+    rows-sharded (validated kernels per device); pyramid glue stays dense
+    XLA for GSPMD.  Levels whose shape the mesh cannot tile fall back to the
+    XLA loop — parity with models.farneback.farneback_solve either way."""
+    from opticalflow_ri_tpu.models import farneback as fb
+
+    im1 = im1.astype(jnp.float32)
+    im2 = im2.astype(jnp.float32)
+    u0 = u0.astype(jnp.float32)
+    v0 = v0.astype(jnp.float32)
+    rows, cols = im1.shape
+    plan = fb._level_plan(rows, cols, pyr_scale, pyr_levels - 1)
+    R = int(sample_max_shift)
+
+    prev = None
+    for lvl in plan:
+        h, w = lvl["height"], lvl["width"]
+        if prev is None:
+            fx = fb.pil_resize(u0, (h, w), "bilinear") * jnp.float32(lvl["scale"])
+            fy = fb.pil_resize(v0, (h, w), "bilinear") * jnp.float32(lvl["scale"])
+        else:
+            fx = fb.pil_resize(prev[0], (h, w), "bilinear") * jnp.float32(1.0 / pyr_scale)
+            fy = fb.pil_resize(prev[1], (h, w), "bilinear") * jnp.float32(1.0 / pyr_scale)
+
+        ra = fb.poly_expansion(
+            fb.pil_resize(fb.gaussian_blur(im1, lvl["smooth"], lvl["sigma"]),
+                          (h, w), "bilinear"),
+            poly_n, poly_sigma,
+        )
+        rb = fb.poly_expansion(
+            fb.pil_resize(fb.gaussian_blur(im2, lvl["smooth"], lvl["sigma"]),
+                          (h, w), "bilinear"),
+            poly_n, poly_sigma,
+        )
+
+        if fb_shard_supported(mesh, (h, w), window_size, R, interpret):
+            fx, fy = farneback_iterate_sharded(
+                mesh, ra, rb, fx, fy, window_size, use_gaussian, n_iters,
+                R, interpret)
+        else:
+            m = fb.update_matrices(fx, fy, ra, rb, R)
+            for i in range(n_iters):
+                if use_gaussian:
+                    mb = fb.gaussian_blur5(m, window_size,
+                                           window_size / 2 * 0.3)
+                else:
+                    mb = fb.box_filter5(m, window_size // 2)
+                fx, fy = fb.update_flow(mb)
+                if i < n_iters - 1:
+                    m = fb.update_matrices(fx, fy, ra, rb, R)
+        prev = (fx, fy)
+
+    return prev
+
+
+# ---------------------------------------------------------------------------
 # Dense Lucas-Kanade (rows-only decomposition)
 # ---------------------------------------------------------------------------
 #

@@ -228,6 +228,94 @@ def test_auto_pipeline_routes_lk_to_sharded_kernels(piv_pair_medium):
 
 
 @needs_devices
+def test_fb_kernel_sharded_matches_single_device():
+    """Rows-sharded Farneback iteration loop (per-device um_channel +
+    blur5 kernels; R1 apron exchanged once per level, M apron once per
+    iteration) == unsharded XLA solve, incl. an internal 2-level pyramid
+    and the box-filter window."""
+    from opticalflow_ri_tpu.parallel.sharded_pallas import (
+        farneback_solve_sharded, fb_shard_supported,
+    )
+    from opticalflow_ri_tpu.models.farneback import farneback_solve
+
+    devs = np.array(jax.devices()[:4]).reshape(1, 4, 1)
+    from jax.sharding import Mesh as _M
+    mesh = _M(devs, ("batch", "y", "x"))
+    rng = np.random.default_rng(5)
+    h, w = 128, 64
+    im1 = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+    im2 = jnp.roll(im1, (1, 2), axis=(0, 1)) + jnp.asarray(
+        rng.normal(0, 2, (h, w)).astype(np.float32))
+    z = jnp.zeros((h, w), jnp.float32)
+
+    assert fb_shard_supported(mesh, (h, w), 33, interpret=True)
+    for kwargs in ({}, {"pyr_levels": 2}, {"use_gaussian": False}):
+        fs = farneback_solve_sharded(mesh, im1, im2, z, z, interpret=True,
+                                     **kwargs)
+        fr = farneback_solve(im1, im2, z, z, impl="xla", **kwargs)
+        aee = float(np.mean(np.hypot(np.asarray(fs[0]) - np.asarray(fr[0]),
+                                     np.asarray(fs[1]) - np.asarray(fr[1]))))
+        assert aee < 1e-5, (kwargs, aee)
+
+
+@needs_devices
+def test_fb_shard_gating():
+    """fb_shard_supported: registry-, divisibility- and halo-gated."""
+    import opticalflow_ri_tpu.ops.pallas.validated as val
+    from opticalflow_ri_tpu.parallel.sharded_pallas import fb_shard_supported
+
+    mesh = _mesh_y8()
+    assert fb_shard_supported(mesh, (256, 128), 33, interpret=True)
+    # rows not divisible by the mesh
+    assert not fb_shard_supported(mesh, (250, 128), 33, interpret=True)
+    # local tile thinner than the blur halo (needs half+1 = 17 rows)
+    assert not fb_shard_supported(mesh, (128, 128), 33, interpret=True)
+    orig = val.VALIDATED_KERNELS
+    val.VALIDATED_KERNELS = {k: v for k, v in orig.items()
+                             if k != "um_channel"}
+    try:
+        assert not fb_shard_supported(mesh, (256, 128), 33, interpret=True)
+    finally:
+        val.VALIDATED_KERNELS = orig
+
+
+@needs_devices
+def test_auto_pipeline_routes_fb_to_sharded_kernels(piv_pair_medium):
+    """A sharded Farneback_Fs0_0 run keeps the validated kernels: the
+    adapter's solver-context route calls farneback_solve_sharded instead of
+    tracing the solve under force_xla — and matches the single-device
+    pipeline."""
+    import opticalflow_ri_tpu.parallel.sharded_pallas as sp
+    from opticalflow_ri_tpu.parallel import auto
+    from opticalflow_ri_tpu.compile import compiled_pipeline
+
+    im1, im2, _, _ = piv_pair_medium  # (160, 128): local tiles (80, 128)
+    mesh = make_mesh(8)
+
+    calls = {"fb": 0}
+    orig_fb = sp.farneback_solve_sharded
+
+    def fb_rec(*a, **k):
+        calls["fb"] += 1
+        return orig_fb(*a, **k)
+
+    sp.farneback_solve_sharded = fb_rec
+    try:
+        fn = auto.auto_sharded_pipeline("Farneback_Fs0_0", mesh,
+                                        kernel_interpret=True)
+        u8, v8 = fn(jnp.asarray(im1), jnp.asarray(im2))
+        assert calls["fb"] >= 1, "sharded FB config did not route to kernels"
+    finally:
+        sp.farneback_solve_sharded = orig_fb
+
+    u1, v1 = compiled_pipeline("Farneback_Fs0_0")(jnp.asarray(im1),
+                                                  jnp.asarray(im2))
+    aee = float(np.mean(np.hypot(np.asarray(u8) - np.asarray(u1),
+                                 np.asarray(v8) - np.asarray(v1))))
+    assert aee < 1e-5, aee
+
+
+@needs_devices
 def test_ls_sharded_dispatch_routes_to_kernel():
     import opticalflow_ri_tpu.parallel.sharded as sharded
     import opticalflow_ri_tpu.ops.pallas as pallas_pkg
