@@ -51,12 +51,17 @@ def global_mesh(batch: int = 1) -> Mesh:
     return Mesh(np.array(devices).reshape(shape), ("batch", "y", "x"))
 
 
-def shard_batch_global(mesh: Mesh, *host_local_arrays):
+def shard_batch_global(mesh: Mesh, *host_local_arrays, global_shape=None):
     """Assemble per-host (B_local, H, W) arrays into globally-sharded arrays
-    on the ('batch', 'y', 'x') mesh via make_array_from_process_local_data."""
+    on the ('batch', 'y', 'x') mesh via make_array_from_process_local_data.
+
+    ``global_shape``: pass explicitly when the host-local block is a SPATIAL
+    slice (the y/x mesh axes span processes) rather than a batch slice —
+    the default inference assumes only the leading axis differs per host."""
     sharding = NamedSharding(mesh, P("batch", "y", "x"))
     out = []
     for arr in host_local_arrays:
         arr = np.asarray(arr, np.float32)
-        out.append(jax.make_array_from_process_local_data(sharding, arr))
+        out.append(jax.make_array_from_process_local_data(
+            sharding, arr, global_shape))
     return tuple(out)
