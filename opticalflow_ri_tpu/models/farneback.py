@@ -229,7 +229,10 @@ def _um_impl(shape, sample_max_shift=5) -> str:
     (5.4x the XLA contraction on a v5e at the R=5 default, parity to f32
     round-off — relative 1.5e-7; the round-4 separable reorder traded
     bit-identity for hoisted lane rotates —
-    scripts/pallas_ab_results.json) when the backend policy allows, else XLA."""
+    scripts/pallas_ab_results.json) when the backend policy allows, else XLA.
+    The data-dependent shift-skipping variant ('um_sparse') takes precedence
+    once hardware-validated: on calibrated PIV flow it branches away most of
+    the 121-term contraction (scripts/fb_limiter.json)."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
@@ -240,6 +243,9 @@ def _um_impl(shape, sample_max_shift=5) -> str:
         update_matrices_supports_pallas,
     )
 
+    if is_validated("um_sparse") and update_matrices_supports_pallas(
+            shape, sample_max_shift):
+        return "pallas_sparse"
     if is_validated("um") and update_matrices_supports_pallas(
             shape, sample_max_shift):
         return "pallas"
@@ -251,7 +257,11 @@ def _um_impl(shape, sample_max_shift=5) -> str:
 
 def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
                              impl: str = "auto"):
-    """update_matrices with static impl selection (trace-time env + shape)."""
+    """update_matrices with static impl selection (trace-time env + shape).
+    ``impl="pallas"`` picks the best VALIDATED kernel for the shape (like
+    "auto" but without re-consulting the backend policy); the
+    ``pallas_sparse`` / ``pallas_dense`` / ``pallas_channel`` values pin a
+    specific kernel for A/B runs."""
     if impl == "auto":
         impl = _um_impl(r0.shape, sample_max_shift)
     elif impl == "pallas":
@@ -261,12 +271,24 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
         )
         from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-        if not update_matrices_supports_pallas(r0.shape, sample_max_shift):
+        if (is_validated("um_sparse") and update_matrices_supports_pallas(
+                r0.shape, sample_max_shift)):
+            impl = "pallas_sparse"
+        elif not update_matrices_supports_pallas(r0.shape, sample_max_shift):
             impl = ("pallas_channel"
                     if is_validated("um_channel")
                     and update_matrices_channel_supports_pallas(
                         r0.shape, sample_max_shift)
                     else "xla")
+    elif impl == "pallas_dense":
+        impl = "pallas"
+    if impl == "pallas_sparse":
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_sparse_pallas,
+        )
+
+        return update_matrices_sparse_pallas(flowx, flowy, r0, r1,
+                                             sample_max_shift)
     if impl == "pallas":
         from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
 

@@ -123,6 +123,155 @@ def _update_matrices_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
     m_ref[4] = r6 * r2 + r5 * r3
 
 
+def _update_matrices_sparse_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
+                                   s_scr, t_scr,
+                                   *, R: int, rows: int, cols: int,
+                                   band: int):
+    """Dense-kernel semantics with DATA-DEPENDENT shift skipping: a tent
+    weight plane that is zero over the whole band contributes exactly
+    nothing, so its lane rotate / sublane slices / FMAs are branched away
+    with ``pl.when`` (scf.if — a real runtime branch, not predication).
+
+    On calibrated PIV flow (|d| <= 4 px, smooth), a 32-row band's y-flow
+    range spans ~2-3 of the 2R+1 y-shifts and its x-flow range ~a few
+    x-shifts, so the 121-term contraction executes ~10-30 terms; worst case
+    (range-10 flow everywhere in one band) it executes all 121 plus the
+    branch overhead.  Numerically the skipped terms are identically zero;
+    residual diffs vs the dense kernel are compiler mul-add fusion choices
+    across the scf.if structure (~1e-5 relative, same class as the
+    um_channel separable-order diff).
+
+    Accumulators live in VMEM scratch (s_scr/t_scr) because values cannot
+    carry through scf.if regions — only ref side effects can."""
+    i = pl.program_id(0)
+    y0 = i * band
+    cp = fx_ref.shape[-1]
+
+    flowx = fx_ref[:]
+    flowy = fy_ref[:]
+    dxc = jnp.clip(flowx, float(-R), R - 1e-3)
+    dyc = jnp.clip(flowy, float(-R), R - 1e-3)
+    nshift = 2 * R + 1
+
+    win = r1p_ref[:, pl.ds(y0, band + nshift - 1), :]
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+           for sy in range(nshift)]
+    ay = [jnp.max(wys[sy]) > 0.0 for sy in range(nshift)]
+    s_scr[:] = jnp.zeros((5, band, cp), jnp.float32)
+    for sx in range(nshift):
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+
+        @pl.when(jnp.max(wx) > 0.0)
+        def _sx_body(sx=sx, wx=wx):
+            cols_s = win[:, :, sx : sx + cp]  # the lane rotate, skipped too
+            t_scr[:] = jnp.zeros((5, band, cp), jnp.float32)
+            for sy in range(nshift):
+                @pl.when(ay[sy])
+                def _sy_body(sy=sy):
+                    t_scr[:] += wys[sy][None] * cols_s[:, sy : sy + band, :]
+            s_scr[:] += wx[None] * t_scr[:]
+
+    s = s_scr[:]
+
+    # assembly tail identical to _update_matrices_kernel
+    ys = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 0).astype(jnp.float32) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 1).astype(jnp.float32)
+    fx_pos = xs + flowx
+    fy_pos = ys + flowy
+    x1i = jnp.floor(fx_pos)
+    y1i = jnp.floor(fy_pos)
+    inside = (x1i >= 0) & (y1i >= 0) & (x1i < cols - 1) & (y1i < rows - 1)
+
+    r0 = r0_ref[:]
+    r2 = jnp.where(inside, s[0], 0.0)
+    r3 = jnp.where(inside, s[1], 0.0)
+    r4 = jnp.where(inside, (r0[2] + s[2]) * 0.5, r0[2])
+    r5 = jnp.where(inside, (r0[3] + s[3]) * 0.5, r0[3])
+    r6 = jnp.where(inside, (r0[4] + s[4]) * 0.25, r0[4] * 0.5)
+
+    r2 = (r0[0] - r2) * 0.5
+    r3 = (r0[1] - r3) * 0.5
+    r2 = r2 + r4 * flowy + r6 * flowx
+    r3 = r3 + r6 * flowy + r5 * flowx
+
+    def ramp_at(d):
+        return jnp.where(
+            d < 2, jnp.float32(BORDER_RAMP[0]),
+            jnp.where(d < 5, jnp.float32(BORDER_RAMP[2]), jnp.float32(1.0)),
+        )
+
+    xi = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (band, cp), 0) + y0
+    scale = (
+        ramp_at(xi) * ramp_at(yi)
+        * ramp_at(cols - xi - 1) * ramp_at(rows - yi - 1)
+    )
+    r2 = r2 * scale
+    r3 = r3 * scale
+    r4 = r4 * scale
+    r5 = r5 * scale
+    r6 = r6 * scale
+
+    m_ref[0] = r4 * r4 + r6 * r6
+    m_ref[1] = (r4 + r5) * r6
+    m_ref[2] = r5 * r5 + r6 * r6
+    m_ref[3] = r4 * r2 + r6 * r3
+    m_ref[4] = r6 * r2 + r5 * r3
+
+
+@partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
+def update_matrices_sparse_pallas(flowx, flowy, r0, r1,
+                                  sample_max_shift: int = 5,
+                                  band: int = 32, interpret: bool = False):
+    """Drop-in for update_matrices_pallas with data-dependent shift skipping
+    (see _update_matrices_sparse_kernel).  Registry-gated as 'um_sparse' —
+    stays out of default dispatch until its hardware A/B stages are
+    committed (ops/pallas/validated.py policy)."""
+    R = int(sample_max_shift)
+    _, rows, cols = r0.shape
+    ph, pw = _align2(rows, cols)
+    rp, cp = rows + ph, cols + pw
+    while band > 8 and rp % band != 0:
+        band //= 2
+    band = min(band, rp)
+    assert rp % band == 0
+    r1p = jnp.pad(r1, ((0, 0), (R, R + 1), (R, R + 1)), mode="edge")
+    r1p = jnp.pad(r1p, ((0, 0), (0, ph), (0, pw)))
+    r0 = jnp.pad(r0, ((0, 0), (0, ph), (0, pw)))
+    flowx = jnp.pad(flowx, ((0, ph), (0, pw)))
+    flowy = jnp.pad(flowy, ((0, ph), (0, pw)))
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    band_spec = lambda nch: pl.BlockSpec(
+        (nch, band, cp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    band2 = pl.BlockSpec((band, cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    nshift = 2 * R + 1
+    out = pl.pallas_call(
+        partial(_update_matrices_sparse_kernel, R=R, rows=rows, cols=cols,
+                band=band),
+        out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
+        grid=(pl.cdiv(rp, band),),
+        in_specs=[vmem, band_spec(5), band2, band2],
+        out_specs=band_spec(5),
+        scratch_shapes=[
+            pltpu.VMEM((5, band, cp), jnp.float32),
+            pltpu.VMEM((5, band, cp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(rows) * cols * (nshift * nshift * 10 + 40) * 5,
+            bytes_accessed=(5 * rows * cols * 3 + 2 * rows * cols) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r1p, r0, flowx.astype(jnp.float32), flowy.astype(jnp.float32))
+    return out[:, :rows, :cols]
+
+
 def _align2(h: int, w: int):
     """Bottom/right zero-padding up to the f32 (8, 128) tile."""
     return (-h) % 8, (-w) % 128

@@ -509,6 +509,144 @@ def main():
         emit(f"sharded_ls_{side}", marginal_ms=m_s * 1e3,
              unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
 
+    # ---------------- um_sparse: data-dependent shift skipping --------------
+    # Round-5: the sparse tent-contraction kernel branches away whole-band
+    # zero-weight shifts (exact: skipped terms contribute nothing).  A/B on
+    # the bundled pair's own converged FB flow (the calibrated regime the
+    # skipping exploits) AND an adversarial uniform +-8 px flow (every
+    # branch taken — prices the branch overhead).
+    if want("um_sparse"):
+        from opticalflow_ri_tpu.models.farneback import (
+            farneback_solve, poly_expansion,
+        )
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_pallas, update_matrices_sparse_pallas,
+        )
+
+        z5 = jnp.zeros(im1.shape, jnp.float32)
+        signal.alarm(2400)
+        fxr, fyr = farneback_solve(im1, im2, z5, z5, impl="xla")
+        ra = poly_expansion(im1, 7, 1.5)
+        rb = poly_expansion(im2, 7, 1.5)
+        rng5 = np.random.default_rng(1)
+        rand = (jnp.asarray(rng5.uniform(-8, 8, im1.shape).astype(np.float32)),
+                jnp.asarray(rng5.uniform(-8, 8, im1.shape).astype(np.float32)))
+        dense = lambda a, b: update_matrices_pallas(a, b, ra, rb, 5)
+        sparse = lambda a, b: update_matrices_sparse_pallas(a, b, ra, rb, 5)
+        for nm, (fxv, fyv) in (("calibrated", (fxr, fyr)),
+                               ("adversarial", rand)):
+            signal.alarm(2400)
+            md = dense(fxv, fyv)
+            ms = sparse(fxv, fyv)
+            diff = float(jnp.max(jnp.abs(ms - md)))
+            rel = diff / float(jnp.max(jnp.abs(md)))
+            if nm == "calibrated":
+                emit("um_sparse_compiled", max_abs_diff=diff,
+                     max_rel_diff=rel)
+            signal.alarm(900)
+            m_d, _ = marginal(dense, (fxv, fyv))
+            m_s, _ = marginal(sparse, (fxv, fyv))
+            emit(f"um_sparse_{nm}", sparse_ms=m_s * 1e3, dense_ms=m_d * 1e3,
+                 speedup=m_d / m_s, max_abs_diff=diff)
+
+        # full-solve e2e: fresh traces of the unjitted body so the registry
+        # patch is visible at trace time (the outer jit caches on impl)
+        import opticalflow_ri_tpu.ops.pallas.validated as _val
+
+        fb_raw = farneback_solve.__wrapped__
+        signal.alarm(2400)
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas"))
+        f_d = fb_d(im1, im2)
+        _val.VALIDATED_KERNELS = dict(
+            _val.VALIDATED_KERNELS,
+            um_sparse=("um_sparse_compiled", "um_sparse_calibrated"))
+        try:
+            fb_s = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas"))
+            f_s = fb_s(im1, im2)
+        finally:
+            _val.VALIDATED_KERNELS = {
+                k: v for k, v in _val.VALIDATED_KERNELS.items()
+                if k != "um_sparse"}
+        diff = (float(jnp.max(jnp.abs(f_s[0] - f_d[0])))
+                + float(jnp.max(jnp.abs(f_s[1] - f_d[1]))))
+        signal.alarm(900)
+        m_d, _ = marginal(fb_d, (im1, im2))
+        m_s, _ = marginal(fb_s, (im1, im2))
+        emit("um_sparse_fb_solve", sparse_ms=m_s * 1e3, dense_ms=m_d * 1e3,
+             speedup=m_d / m_s, max_abs_diff=diff)
+
+    # ---------------- shard_map-composed LK / Farneback (1-device mesh) ----
+    # Round-5: the rows-sharded LK (build+GN per device, one apron exchange)
+    # and Farneback (um_channel + blur5 per device) compositions must add no
+    # meaningful overhead vs the unsharded dispatch when the mesh is trivial.
+    # NB the sharded FB always samples via um_channel (the dense um kernel
+    # needs whole-R1 VMEM residency, which multi-chip local tiles have but a
+    # trivial-mesh full image may not), so its small-size baseline is the
+    # stronger single-chip dense-um path — overhead there prices the
+    # channel-blocking, not the shard_map.
+    if want("sharded_lkfb") or want("sharded_lk") or want("sharded_fb"):
+        from jax.sharding import Mesh
+        from opticalflow_ri_tpu.parallel.sharded_pallas import (
+            farneback_solve_sharded, lk_solve_sharded_kernel,
+            pick_lk_shard_stripe, fb_shard_supported,
+        )
+        from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+        from opticalflow_ri_tpu.models.farneback import farneback_solve
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                     ("batch", "y", "x"))
+
+    if want("sharded_lkfb") or want("sharded_lk"):
+        for side, lk_impl in ((512, "pallas"), (2048, "pallas_striped")):
+            s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+            s1 = jnp.asarray(s1, jnp.float32)
+            s2 = jnp.asarray(s2, jnp.float32)
+            z = jnp.zeros((side, side), jnp.float32)
+            assert pick_lk_shard_stripe(mesh1, (side, side)) is not None
+
+            lk_un = lambda a, b: lk_dense_solve(a, b, z, z, impl=lk_impl)
+            lk_sh = lambda a, b: lk_solve_sharded_kernel(mesh1, a, b, z, z)
+            signal.alarm(2400)
+            u_s, v_s, _ = lk_sh(s1, s2)
+            u_u, v_u, _ = lk_un(s1, s2)
+            du = jnp.abs(u_s - u_u)
+            dv = jnp.abs(v_s - v_u)
+            emit(f"sharded_lk_{side}_compiled",
+                 max_abs_diff=float(jnp.max(du)) + float(jnp.max(dv)),
+                 bulk_lt_1e3=float(jnp.mean((du < 1e-3) & (dv < 1e-3))))
+            signal.alarm(900)
+            m_u, _ = marginal(lk_un, (s1, s2), chain=4)
+            m_s, _ = marginal(lk_sh, (s1, s2), chain=4)
+            emit(f"sharded_lk_{side}", marginal_ms=m_s * 1e3,
+                 unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
+
+    if want("sharded_lkfb") or want("sharded_fb"):
+        for side in (512, 1024):
+            s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+            s1 = jnp.asarray(s1, jnp.float32)
+            s2 = jnp.asarray(s2, jnp.float32)
+            z = jnp.zeros((side, side), jnp.float32)
+            assert fb_shard_supported(mesh1, (side, side), 33)
+
+            fb_un = lambda a, b: farneback_solve(a, b, z, z, impl="pallas")
+            # jit the WHOLE sharded solve: in production it is traced inside
+            # the auto-sharded pipeline jit; an unjitted lambda would run
+            # the pyramid glue eagerly through the tunnel (~165 ms of
+            # per-op dispatch RTT measured — not a property of the path)
+            fb_sh = jax.jit(
+                lambda a, b: farneback_solve_sharded(mesh1, a, b, z, z))
+            signal.alarm(2400)
+            f_s = fb_sh(s1, s2)
+            f_u = fb_un(s1, s2)
+            diff = (float(jnp.max(jnp.abs(f_s[0] - f_u[0])))
+                    + float(jnp.max(jnp.abs(f_s[1] - f_u[1]))))
+            emit(f"sharded_fb_{side}_compiled", max_abs_diff=diff)
+            signal.alarm(900)
+            m_u, _ = marginal(fb_un, (s1, s2), chain=4)
+            m_s, _ = marginal(fb_sh, (s1, s2), chain=4)
+            emit(f"sharded_fb_{side}", marginal_ms=m_s * 1e3,
+                 unsharded_marginal_ms=m_u * 1e3, overhead=m_s / m_u - 1.0)
+
     # ---------------- kernel-sharded pyramid pipeline (1-device mesh) -------
     # On a mesh that actually shards, the alternative to the solver context
     # is force_xla GSPMD — so the honest A/B is kernel-context vs GSPMD-XLA

@@ -73,6 +73,36 @@ def test_farneback_update_matrices_pallas_matches_xla_interpret():
     )
 
 
+def test_farneback_update_matrices_sparse_matches_dense_interpret():
+    """The shift-skipping sparse kernel matches the dense kernel to f32
+    round-off (skipped terms are identically zero; residual diffs are
+    compiler mul-add fusion choices across the scf.if structure), on both
+    smooth PIV-like flow (branches skip) and adversarial random flow (every
+    branch taken)."""
+    from opticalflow_ri_tpu.models.farneback import poly_expansion
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_pallas, update_matrices_sparse_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    ra = poly_expansion(im1, 7, 1.5)
+    rb = poly_expansion(im2, 7, 1.5)
+
+    yy = np.arange(64, dtype=np.float32)[:, None] * np.ones((1, 128), np.float32)
+    smooth = (jnp.asarray(2.0 * np.sin(yy / 20.0)),
+              jnp.asarray(1.5 * np.cos(yy / 30.0)))
+    rand = (jnp.asarray(rng.uniform(-8, 8, (64, 128)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-8, 8, (64, 128)).astype(np.float32)))
+    for fx, fy in (smooth, rand):
+        m_d = update_matrices_pallas(fx, fy, ra, rb, interpret=True)
+        m_s = update_matrices_sparse_pallas(fx, fy, ra, rb, interpret=True)
+        scale = float(jnp.max(jnp.abs(m_d)))
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_d),
+                                   atol=2e-5 * scale, rtol=1e-3)
+
+
 def test_lk_gn_pallas_matches_xla_interpret(monkeypatch):
     import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
     from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
