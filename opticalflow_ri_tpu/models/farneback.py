@@ -249,9 +249,11 @@ def _um_impl(shape, sample_max_shift=5) -> str:
     if is_validated("um") and update_matrices_supports_pallas(
             shape, sample_max_shift):
         return "pallas"
-    if is_validated("um_channel") and update_matrices_channel_supports_pallas(
-            shape, sample_max_shift):
-        return "pallas_channel"
+    if update_matrices_channel_supports_pallas(shape, sample_max_shift):
+        if is_validated("um_channel_sparse"):
+            return "pallas_channel_sparse"
+        if is_validated("um_channel"):
+            return "pallas_channel"
     return "xla"
 
 
@@ -275,11 +277,16 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
                 r0.shape, sample_max_shift)):
             impl = "pallas_sparse"
         elif not update_matrices_supports_pallas(r0.shape, sample_max_shift):
-            impl = ("pallas_channel"
-                    if is_validated("um_channel")
-                    and update_matrices_channel_supports_pallas(
-                        r0.shape, sample_max_shift)
-                    else "xla")
+            if update_matrices_channel_supports_pallas(r0.shape,
+                                                       sample_max_shift):
+                if is_validated("um_channel_sparse"):
+                    impl = "pallas_channel_sparse"
+                elif is_validated("um_channel"):
+                    impl = "pallas_channel"
+                else:
+                    impl = "xla"
+            else:
+                impl = "xla"
     elif impl == "pallas_dense":
         impl = "pallas"
     if impl == "pallas_sparse":
@@ -293,13 +300,14 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
         from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
 
         return update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift)
-    if impl == "pallas_channel":
+    if impl in ("pallas_channel", "pallas_channel_sparse"):
         from opticalflow_ri_tpu.ops.pallas.tent_sample import (
             update_matrices_channel_pallas,
         )
 
-        return update_matrices_channel_pallas(flowx, flowy, r0, r1,
-                                              sample_max_shift)
+        return update_matrices_channel_pallas(
+            flowx, flowy, r0, r1, sample_max_shift,
+            sparse=(impl == "pallas_channel_sparse"))
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
 
 

@@ -389,8 +389,47 @@ def update_matrices_channel_supports_pallas(shape, sample_max_shift) -> bool:
     return ch_bytes <= 18 * 1024 * 1024
 
 
+def _tent_sample_channel_sparse_kernel(r1p_ref, fx_ref, fy_ref, s_out,
+                                       acc_scr, t_scr, *, R: int, band: int):
+    """Channel-blocked tent sampling with data-dependent shift skipping —
+    the _update_matrices_sparse_kernel treatment applied to the channel
+    kernel: a whole-band zero tent-weight plane contributes exactly
+    nothing, so its slices/FMAs are branched away with pl.when.  Wins on
+    in-solve flow sequences (see the 'um_sparse' registry note); worst
+    case all branches are taken plus overhead.  Accumulators live in VMEM
+    scratch (values cannot carry through scf.if regions)."""
+    i = pl.program_id(1)
+    y0 = i * band
+    cp = fx_ref.shape[-1]
+
+    flowx = fx_ref[:]
+    flowy = fy_ref[:]
+    dxc = jnp.clip(flowx, float(-R), R - 1e-3)
+    dyc = jnp.clip(flowy, float(-R), R - 1e-3)
+    nshift = 2 * R + 1
+
+    win = r1p_ref[0, pl.ds(y0, band + nshift - 1), :]
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+           for sx in range(nshift)]
+    ax = [jnp.max(wxs[sx]) > 0.0 for sx in range(nshift)]
+    acc_scr[:] = jnp.zeros((band, cp), jnp.float32)
+    for sy in range(nshift):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+
+        @pl.when(jnp.max(wy) > 0.0)
+        def _sy_body(sy=sy, wy=wy):
+            rows_s = win[sy : sy + band, :]
+            t_scr[:] = jnp.zeros((band, cp), jnp.float32)
+            for sx in range(nshift):
+                @pl.when(ax[sx])
+                def _sx_body(sx=sx):
+                    t_scr[:] += wxs[sx] * rows_s[:, sx : sx + cp]
+            acc_scr[:] += wy * t_scr[:]
+    s_out[0] = acc_scr[:]
+
+
 def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
-                             interpret: bool = False):
+                             interpret: bool = False, sparse: bool = False):
     """Channel-blocked tent sampling from a PRE-PADDED R1 field: ``r1p`` is
     (5, rp + 2R+1, cp + 2R+1) — (R, R+1)-deep semantic halo (edge padding on
     a single device, real neighbour rows from exchange_halo in the sharded
@@ -414,12 +453,20 @@ def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
     outspec = pl.BlockSpec((1, band, cp), lambda c, i: (c, i, 0),
                            memory_space=pltpu.VMEM)
     nshift = 2 * R + 1
+    if sparse:
+        kern = partial(_tent_sample_channel_sparse_kernel, R=R, band=band)
+        scratch = [pltpu.VMEM((band, cp), jnp.float32),
+                   pltpu.VMEM((band, cp), jnp.float32)]
+    else:
+        kern = partial(_tent_sample_channel_kernel, R=R, band=band)
+        scratch = []
     return pl.pallas_call(
-        partial(_tent_sample_channel_kernel, R=R, band=band),
+        kern,
         out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
         grid=(5, rp // band),
         in_specs=[chan, band2, band2],
         out_specs=outspec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
@@ -433,15 +480,18 @@ def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
       fyp.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
+@partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret",
+                                   "sparse"))
 def update_matrices_channel_pallas(flowx, flowy, r0, r1,
                                    sample_max_shift: int = 5,
-                                   band: int = 32, interpret: bool = False):
+                                   band: int = 32, interpret: bool = False,
+                                   sparse: bool = False):
     """updateMatrices for fields beyond all-channel VMEM residency:
     channel-blocked Pallas tent sampling + the shared XLA M assembly
     (models.farneback.assemble_m).  Summation order differs from the dense
     kernel (separable weights), so parity is to f32 round-off, not
-    bit-identical."""
+    bit-identical.  ``sparse=True`` uses the shift-skipping variant
+    ('um_channel_sparse' registry entry)."""
     from opticalflow_ri_tpu.models.farneback import assemble_m
 
     R = int(sample_max_shift)
@@ -453,7 +503,7 @@ def update_matrices_channel_pallas(flowx, flowy, r0, r1,
     fxp = jnp.pad(flowx, ((0, ph), (0, pw)))
     fyp = jnp.pad(flowy, ((0, ph), (0, pw)))
 
-    s = tent_sample_channel_call(r1p, fxp, fyp, R, band, interpret)
+    s = tent_sample_channel_call(r1p, fxp, fyp, R, band, interpret, sparse)
     s = s[:, :rows, :cols]
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (rows, cols), 0)

@@ -20,6 +20,15 @@ from __future__ import annotations
 VALIDATED_KERNELS = {
     # Farneback updateMatrices tent-sample kernel (8.0x vs XLA @512^2)
     "um": ("um_pallas_compiled", "um_pallas"),
+    # Farneback updateMatrices with data-dependent shift skipping (pl.when
+    # branches away whole-band zero-weight shifts): LOSES on a static
+    # converged-flow microbench (um_sparse_calibrated 0.40x — full-width
+    # bands of the parabolic flow span most of the tent range) but wins
+    # 1.86x on the full FB solve (um_sparse_fb_solve: 2.54 -> 1.37 ms
+    # @512^2, bit-identical flows — the in-solve flow sequence skips most
+    # of the 121-term contraction).  Dispatch prefers it over "um" inside
+    # whole-solve traces; pin impl="pallas_dense" for static-flow callers.
+    "um_sparse": ("um_sparse_compiled", "um_sparse_fb_solve"),
     # Farneback channel-blocked updateMatrices sampler for fields beyond
     # all-channel VMEM residency (19x vs XLA at 2048^2, flow parity 3.2e-6)
     "um_channel": ("um_channel_compiled", "um_channel"),

@@ -572,8 +572,68 @@ def main():
         signal.alarm(900)
         m_d, _ = marginal(fb_d, (im1, im2))
         m_s, _ = marginal(fb_s, (im1, im2))
-        emit("um_sparse_fb_solve", sparse_ms=m_s * 1e3, dense_ms=m_d * 1e3,
-             speedup=m_d / m_s, max_abs_diff=diff)
+        emit("um_sparse_fb_solve", marginal_ms=m_s * 1e3,
+             dense_marginal_ms=m_d * 1e3, speedup=m_d / m_s,
+             max_abs_diff=diff)
+
+    # channel-blocked sparse variant at 2048^2 (beyond whole-R1 residency):
+    # full-solve A/B, dense-channel vs sparse-channel kernels per call
+    if want("um_channel_sparse"):
+        import opticalflow_ri_tpu.ops.pallas.validated as _val
+        from opticalflow_ri_tpu.models.farneback import farneback_solve
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_pallas,
+        )
+
+        side = 2048
+        s1, s2, ut, vt = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        zl = jnp.zeros((side, side), jnp.float32)
+
+        from opticalflow_ri_tpu.models.farneback import poly_expansion
+
+        signal.alarm(2400)
+        ra = jax.block_until_ready(poly_expansion(s1, 7, 1.5))
+        rb = jax.block_until_ready(poly_expansion(s2, 7, 1.5))
+        fxv = jnp.asarray(ut, jnp.float32)
+        fyv = jnp.asarray(vt, jnp.float32)
+        ch_d = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5)
+        ch_s = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5,
+                                                          sparse=True)
+        md = ch_d(fxv, fyv)
+        ms = ch_s(fxv, fyv)
+        diff = float(jnp.max(jnp.abs(ms - md)))
+        emit("um_channel_sparse_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_d, _ = marginal(ch_d, (fxv, fyv), chain=4)
+        m_s, _ = marginal(ch_s, (fxv, fyv), chain=4)
+        emit("um_channel_sparse_static", sparse_ms=m_s * 1e3,
+             dense_ms=m_d * 1e3, speedup=m_d / m_s)
+
+        fb_raw = farneback_solve.__wrapped__
+        signal.alarm(2400)
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+        f_d = fb_d(s1, s2)
+        _val.VALIDATED_KERNELS = dict(
+            _val.VALIDATED_KERNELS,
+            um_channel_sparse=("um_channel_sparse_compiled",
+                               "um_channel_sparse_fb_solve"))
+        try:
+            fb_s = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+            f_s = fb_s(s1, s2)
+        finally:
+            _val.VALIDATED_KERNELS = {
+                k: v for k, v in _val.VALIDATED_KERNELS.items()
+                if k != "um_channel_sparse"}
+        diff = (float(jnp.max(jnp.abs(f_s[0] - f_d[0])))
+                + float(jnp.max(jnp.abs(f_s[1] - f_d[1]))))
+        signal.alarm(1200)
+        m_d, _ = marginal(fb_d, (s1, s2), chain=4)
+        m_s, _ = marginal(fb_s, (s1, s2), chain=4)
+        emit("um_channel_sparse_fb_solve", marginal_ms=m_s * 1e3,
+             dense_marginal_ms=m_d * 1e3, speedup=m_d / m_s,
+             max_abs_diff=diff)
 
     # ---------------- shard_map-composed LK / Farneback (1-device mesh) ----
     # Round-5: the rows-sharded LK (build+GN per device, one apron exchange)

@@ -103,6 +103,35 @@ def test_farneback_update_matrices_sparse_matches_dense_interpret():
                                    atol=2e-5 * scale, rtol=1e-3)
 
 
+def test_farneback_update_matrices_channel_sparse_interpret():
+    """Shift-skipping variant of the channel-blocked sampler matches the
+    non-sparse channel kernel to f32 round-off on smooth and adversarial
+    flow."""
+    from opticalflow_ri_tpu.models.farneback import poly_expansion
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_channel_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    im1 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (64, 128)).astype(np.float32))
+    ra = poly_expansion(im1, 7, 1.5)
+    rb = poly_expansion(im2, 7, 1.5)
+    yy = np.arange(64, dtype=np.float32)[:, None] * np.ones((1, 128), np.float32)
+    flows = [
+        (jnp.asarray(2.0 * np.sin(yy / 20.0)), jnp.asarray(1.5 * np.cos(yy / 30.0))),
+        (jnp.asarray(rng.uniform(-8, 8, (64, 128)).astype(np.float32)),
+         jnp.asarray(rng.uniform(-8, 8, (64, 128)).astype(np.float32))),
+    ]
+    for fx, fy in flows:
+        m_c = update_matrices_channel_pallas(fx, fy, ra, rb, interpret=True)
+        m_s = update_matrices_channel_pallas(fx, fy, ra, rb, interpret=True,
+                                             sparse=True)
+        scale = float(jnp.max(jnp.abs(m_c)))
+        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_c),
+                                   atol=2e-5 * scale, rtol=1e-3)
+
+
 def test_lk_gn_pallas_matches_xla_interpret(monkeypatch):
     import opticalflow_ri_tpu.ops.pallas.lk_iter as lki
     from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
@@ -579,6 +608,8 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
         ("ls", "pallas"): "ls_whole", ("ls", "pallas_tiled"): "ls_tiled",
         ("lk", "pallas"): "lk_gn", ("um", "pallas"): "um",
         ("um", "pallas_channel"): "um_channel",
+        ("um", "pallas_sparse"): "um_sparse",
+        ("um", "pallas_channel_sparse"): "um_channel_sparse",
     }
     shapes = [(256, 256), (512, 512), (1024, 1024), (2048, 2048), (500, 700)]
     for shape in shapes:
