@@ -374,6 +374,11 @@ def _fb_iter_body(r0, r1, fx, fy, *, taps, mode, post_scale, n_iters, R,
     from opticalflow_ri_tpu.ops.pallas.tent_sample import (
         tent_sample_channel_call,
     )
+    from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+    # in-solve flow sequences skip most shifts (the um_sparse win);
+    # registry-gated like every kernel choice
+    sparse = is_validated("um_channel_sparse")
 
     _, h_loc, w = r0.shape
     row0 = lax.axis_index("y") * h_loc
@@ -393,8 +398,8 @@ def _fb_iter_body(r0, r1, fx, fy, *, taps, mode, post_scale, n_iters, R,
     def um(fx, fy):
         fxp = jnp.pad(fx, ((0, ph), (0, pw)))
         fyp = jnp.pad(fy, ((0, ph), (0, pw)))
-        s = tent_sample_channel_call(r1p, fxp, fyp, R,
-                                     interpret=interpret)[:, :h_loc, :w]
+        s = tent_sample_channel_call(r1p, fxp, fyp, R, interpret=interpret,
+                                     sparse=sparse)[:, :h_loc, :w]
         x1i = jnp.floor(xs + fx)
         y1i = jnp.floor(ys + fy)
         inside = ((x1i >= 0) & (y1i >= 0)
