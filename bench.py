@@ -143,9 +143,15 @@ def time_streamed(name, d1, d2, k=16, repeats=3):
             times.append(time.perf_counter() - t0)
         return float(min(times))
 
-    t1 = run(1)
+    # k=4 baseline (not k=1): both terms then carry the same ~24 ms fixed
+    # per-dispatch cost (sync + output-stack allocation; construct-
+    # independent — scripts/hs_scan_probe.json), so the slope isolates the
+    # true per-pair cost.  The old k=1 subtraction let sync jitter read as
+    # a +25% "scan penalty" (round-4 weak #3, settled by the probe: slope
+    # is within 7% of the pipelined marginal).
+    t4 = run(4)
     tk = run(k)
-    per_pair = (tk - t1) / (k - 1)
+    per_pair = (tk - t4) / (k - 4)
     amortized = per_pair <= 0
     if amortized:  # sync jitter swamped the signal; amortize instead
         per_pair = tk / k

@@ -80,6 +80,7 @@ QUICK_TIER = {
     "tests/test_pallas_kernels.py::test_liu_shen_pallas_kernel_matches_xla_interpret",  # L1
     "tests/test_pallas_kernels.py::test_validated_registry_matches_ab_artifact",  # L1 policy
     "tests/test_sharding.py::test_liu_shen_sharded_matches_single_device",  # parallel
+    "tests/test_batch_stream.py::test_batch_sharded_scan_matches_single_device_stream",  # campaign
     "tests/test_batch_runner.py::test_resume_skips_done",             # harness
     "tests/test_golden.py::test_hs_golden",                           # regression
     "tests/test_examples.py::test_every_example_config_has_a_script",  # examples
