@@ -635,6 +635,49 @@ def main():
              dense_marginal_ms=m_d * 1e3, speedup=m_d / m_s,
              max_abs_diff=diff)
 
+    # ---------------- LK split build (per-gradient launches, band 256) -----
+    # Round-5 directive #6: the 2048^2 stripe sweep showed the BUILD is 23.2
+    # of the 30.3 ms (scripts/lk_stripe_sweep.json) with its band forced to
+    # 128 by the two-stack double-buffered output VMEM.  Splitting the build
+    # into one launch per gradient stack admits band 256 (12% x-pass halo
+    # recompute instead of 24%).  Full striped solve A/B, fresh traces so
+    # the registry patch is visible.
+    if want("lk_build_split"):
+        import opticalflow_ri_tpu.ops.pallas.validated as _val
+        from opticalflow_ri_tpu.models.lucas_kanade import lk_dense_solve
+
+        side = 2048
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        z = jnp.zeros((side, side), jnp.float32)
+        raw = lk_dense_solve.__wrapped__
+        signal.alarm(2400)
+        fn_f = jax.jit(lambda a, b: raw(a, b, z, z, impl="pallas_striped")[:2])
+        u_f, v_f = fn_f(s1, s2)
+        _val.VALIDATED_KERNELS = dict(
+            _val.VALIDATED_KERNELS,
+            lk_build_split=("lk_build_split_compiled", "lk_build_split_2048"))
+        try:
+            fn_s = jax.jit(
+                lambda a, b: raw(a, b, z, z, impl="pallas_striped")[:2])
+            u_s, v_s = fn_s(s1, s2)
+        finally:
+            _val.VALIDATED_KERNELS = {
+                k: v for k, v in _val.VALIDATED_KERNELS.items()
+                if k != "lk_build_split"}
+        du = jnp.abs(u_s - u_f)
+        dv = jnp.abs(v_s - v_f)
+        emit("lk_build_split_compiled",
+             max_abs_diff=float(jnp.max(du)) + float(jnp.max(dv)),
+             bulk_lt_1e3=float(jnp.mean((du < 1e-3) & (dv < 1e-3))))
+        signal.alarm(1200)
+        m_f, _ = marginal(fn_f, (s1, s2), chain=4)
+        m_s, _ = marginal(fn_s, (s1, s2), chain=4)
+        emit("lk_build_split_2048", marginal_ms=m_s * 1e3,
+             fused_marginal_ms=m_f * 1e3, speedup=m_f / m_s,
+             mpix_per_s=side * side / 1e6 / m_s)
+
     # ---------------- shard_map-composed LK / Farneback (1-device mesh) ----
     # Round-5: the rows-sharded LK (build+GN per device, one apron exchange)
     # and Farneback (um_channel + blur5 per device) compositions must add no

@@ -103,6 +103,36 @@ def test_farneback_update_matrices_sparse_matches_dense_interpret():
                                    atol=2e-5 * scale, rtol=1e-3)
 
 
+def test_lk_build_split_matches_fused_interpret():
+    """The per-gradient split build (two launches, larger band) must be
+    bit-identical to the fused two-stack build — same kernel body, same
+    summation order, only the launch structure differs."""
+    from opticalflow_ri_tpu.oracle.lucas_kanade import window_mask
+    from opticalflow_ri_tpu.ops.window_sums import runs_from_mask
+    from opticalflow_ri_tpu.ops.pallas.lk_build import (
+        lk_build_planes_pallas, lk_build_split_engages,
+    )
+
+    rng = np.random.default_rng(0)
+    hw, R = 13, 5
+    h, w = 32, 64
+    core_h, core_w = h + 31, w + 31
+    slab = jnp.asarray(
+        rng.normal(0, 1, (core_h + 2 * R, core_w + 2 * R)).astype(np.float32))
+    g = jnp.asarray(rng.normal(0, 1, (2, core_h, core_w)).astype(np.float32))
+    runs = runs_from_mask(window_mask(27, 0, 0))
+    a1, a2 = lk_build_planes_pallas(slab, g, hw, R, runs, runs,
+                                    interpret=True, split_g="never")
+    b1, b2 = lk_build_planes_pallas(slab, g, hw, R, runs, runs,
+                                    interpret=True, split_g="always")
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    # engagement: only where the split admits a strictly larger band
+    assert lk_build_split_engages(512, 2048, 5)
+    assert not lk_build_split_engages(512, 512, 5)
+
+
 def test_farneback_update_matrices_channel_sparse_interpret():
     """Shift-skipping variant of the channel-blocked sampler matches the
     non-sparse channel kernel to f32 round-off on smooth and adversarial
