@@ -46,6 +46,11 @@ VALIDATED_KERNELS = {
     # 2.57x the XLA-ladder-build path @2048^2: 30.3 ms, 138.5 Mpix/s —
     # only one stripe's plane stack ever exists in HBM)
     "lk_striped": ("lk_striped_compiled", "lk_striped_2048"),
+    # per-gradient split build launches (band 256 instead of 128 at 2048^2
+    # stripes): bit-identical, +1.6% (29.81 vs 30.27 ms) — the small gain
+    # shows the build is base-window-sum-bound, not halo-recompute-bound
+    # (plateau evidence: scripts/lk_stripe_sweep.json)
+    "lk_build_split": ("lk_build_split_compiled", "lk_build_split_2048"),
     # Horn-Schunck whole-solve VMEM-resident kernel (2.56x @512^2)
     "hs_whole": ("hs_whole_pallas_compiled", "hs_whole_pallas_512"),
     # Horn-Schunck temporal-blocked tiled kernel (4.45x @2048^2)
