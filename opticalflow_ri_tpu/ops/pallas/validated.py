@@ -32,6 +32,11 @@ VALIDATED_KERNELS = {
     # Farneback channel-blocked updateMatrices sampler for fields beyond
     # all-channel VMEM residency (19x vs XLA at 2048^2, flow parity 3.2e-6)
     "um_channel": ("um_channel_compiled", "um_channel"),
+    # channel-blocked shift-skipping sampler: 1.35x the dense channel kernel
+    # on the static stage and 1.22x the full 2048^2 FB solve (41.2 ->
+    # 33.9 ms, bit-identical flows — um_channel_sparse_fb_solve)
+    "um_channel_sparse": ("um_channel_sparse_compiled",
+                          "um_channel_sparse_fb_solve"),
     # Farneback fused blur5+updateFlow kernel (1.44x)
     "blur5": ("blur5_pallas_compiled", "blur5_pallas"),
     # banded DMA-slab blur5+updateFlow for fields beyond whole-M residency
