@@ -73,20 +73,48 @@ def prepare_poly_gaussian(n: int, sigma: float):
     )
 
 
-def poly_expansion(src: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
-    """(H, W) -> (5, H, W) polynomial-expansion field."""
+def poly_expansion(src: jnp.ndarray, n: int, sigma: float,
+                   impl: str = "auto") -> jnp.ndarray:
+    """(H, W) -> (5, H, W) polynomial-expansion field.
+
+    ``impl``: "vpu" pins the shift-add stencil chain, "matmul" pins the MXU
+    banded-matmul path (ops/matmul_filter.py), "auto" consults the backend
+    policy + validated registry (the 2n+1-tap bases are wide enough for the
+    MXU to win at large sizes — hardware A/B stage ``poly_matmul`` in
+    scripts/pallas_ab_results.json)."""
     g, xg, xxg, (ig11, ig03, ig33, ig55) = prepare_poly_gaussian(n, float(sigma))
 
-    ve = correlate1d(src, g, axis=-2, mode="nearest")
-    vo = correlate1d(src, xg, axis=-2, mode="nearest")
-    vx2 = correlate1d(src, xxg, axis=-2, mode="nearest")
+    c1d = correlate1d
+    if impl != "vpu":
+        from opticalflow_ri_tpu.ops.matmul_filter import (
+            matmul_correlate1d, matmul_supports,
+        )
 
-    b1 = correlate1d(ve, g, axis=-1, mode="nearest")
-    b2 = correlate1d(ve, xg, axis=-1, mode="nearest")
-    b4 = correlate1d(ve, xxg, axis=-1, mode="nearest")
-    b3 = correlate1d(vo, g, axis=-1, mode="nearest")
-    b6 = correlate1d(vo, xg, axis=-1, mode="nearest")
-    b5 = correlate1d(vx2, g, axis=-1, mode="nearest")
+        if impl == "matmul":
+            if matmul_supports(src.shape, 2 * n + 1):
+                c1d = matmul_correlate1d
+        elif impl == "auto":
+            from opticalflow_ri_tpu.ops.pallas import pallas_default_on
+            from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+
+            # size floor: the MXU win is proven for the large-field class
+            # (poly_matmul A/B at 2048^2); small pyramid levels stay on the
+            # fused VPU chain
+            if (pallas_default_on() and is_validated("poly_matmul")
+                    and src.shape[-2] * src.shape[-1] >= 2048 * 2048
+                    and matmul_supports(src.shape, 2 * n + 1)):
+                c1d = matmul_correlate1d
+
+    ve = c1d(src, g, axis=-2, mode="nearest")
+    vo = c1d(src, xg, axis=-2, mode="nearest")
+    vx2 = c1d(src, xxg, axis=-2, mode="nearest")
+
+    b1 = c1d(ve, g, axis=-1, mode="nearest")
+    b2 = c1d(ve, xg, axis=-1, mode="nearest")
+    b4 = c1d(ve, xxg, axis=-1, mode="nearest")
+    b3 = c1d(vo, g, axis=-1, mode="nearest")
+    b6 = c1d(vo, xg, axis=-1, mode="nearest")
+    b5 = c1d(vx2, g, axis=-1, mode="nearest")
 
     return jnp.stack([
         b3 * ig11,
@@ -264,6 +292,8 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
     "auto" but without re-consulting the backend policy); the
     ``pallas_sparse`` / ``pallas_dense`` / ``pallas_channel`` values pin a
     specific kernel for A/B runs."""
+    if impl == "pallas_mmblur":
+        impl = "pallas"  # the mmblur pin only affects the blur dispatch
     if impl == "auto":
         impl = _um_impl(r0.shape, sample_max_shift)
     elif impl == "pallas":
@@ -334,6 +364,18 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
     scripts/pallas_ab_results.json) when the backend policy allows."""
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
+    from opticalflow_ri_tpu.ops.matmul_filter import (
+        blur5_flow_matmul, matmul_supports,
+    )
+
+    k, mode, scale = _window_blur_spec(window_size, use_gaussian)
+    taps = tuple(float(w) for w in k)
+
+    if impl == "pallas_mmblur":
+        # forced MXU banded-matmul blur (A/B pin)
+        if matmul_supports(m.shape, len(k)):
+            return blur5_flow_matmul(m, taps, mode, scale)
+        impl = "pallas"
 
     if impl == "pallas" or (
         impl == "auto" and pallas_default_on() and is_validated("blur5")
@@ -343,16 +385,18 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
             blur5_flow_pallas, blur5_flow_supports_pallas,
         )
 
-        k, mode, scale = _window_blur_spec(window_size, use_gaussian)
         if blur5_flow_supports_pallas(m.shape, len(k)):
-            return blur5_flow_pallas(m, tuple(float(w) for w in k), mode, scale)
-        # beyond whole-M VMEM residency: banded DMA-slab variant
-        # (bit-identical to the whole kernel; 2048^2 hardware A/B in
-        # pallas_ab_results.json:blur5_banded_*)
+            return blur5_flow_pallas(m, taps, mode, scale)
+        # beyond whole-M VMEM residency: the MXU banded-matmul path (see
+        # ops/matmul_filter.py; hardware A/B in
+        # pallas_ab_results.json:blur5_matmul_*) when validated, else the
+        # banded DMA-slab kernel (bit-identical to the whole kernel;
+        # 2048^2 hardware A/B in pallas_ab_results.json:blur5_banded_*)
+        if is_validated("blur5_matmul") and matmul_supports(m.shape, len(k)):
+            return blur5_flow_matmul(m, taps, mode, scale)
         if is_validated("blur5_banded") and blur5_flow_banded_supports(
                 m.shape, len(k)):
-            return blur5_flow_banded_pallas(m, tuple(float(w) for w in k),
-                                            mode, scale)
+            return blur5_flow_banded_pallas(m, taps, mode, scale)
 
     if use_gaussian:
         m = gaussian_blur5(m, window_size, window_size / 2 * 0.3)

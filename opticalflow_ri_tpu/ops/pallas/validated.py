@@ -42,6 +42,12 @@ VALIDATED_KERNELS = {
     # banded DMA-slab blur5+updateFlow for fields beyond whole-M residency
     # (bit-identical, 2.41x the XLA stencil blur @2048^2: 6.61 -> 2.74 ms)
     "blur5_banded": ("blur5_banded_compiled", "blur5_banded"),
+    # blur5+updateFlow as a blocked banded MATMUL on the MXU (not a Pallas
+    # kernel — ops/matmul_filter.py; registered here because this is the
+    # dispatch-policy registry): 11.9x the banded DMA-slab kernel @2048^2
+    # (2.93 -> 0.25 ms, block 256), full FB solve 31.7 -> 23.0 ms
+    # (182.6 Mpix/s), flow parity 6.1e-6 (different f32 reduction order)
+    "blur5_matmul": ("blur5_matmul_compiled", "blur5_matmul"),
     # dense-LK banded Gauss-Newton kernel (2.27x)
     "lk_gn": ("lk_pallas_compiled", "lk_pallas"),
     # dense-LK band-resident ladder shift-plane build (bit-identical,

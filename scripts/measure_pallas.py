@@ -791,6 +791,107 @@ def main():
              speedup_vs_gspmd=m_x / m_k,
              overhead_vs_unsharded=m_k / m_u - 1.0)
 
+    # ---------------- blur5 as blocked banded matmul (MXU path) -----------
+    # Round 5: the 33-tap 5-plane window blur is wide enough for the MXU to
+    # beat the VPU shift-add chain even with dense-block padding waste
+    # (ops/matmul_filter.py).  Pure XLA — no Mosaic compile.  Stages: parity
+    # + timing vs the banded DMA-slab kernel at 2048^2 (the shape class the
+    # matmul path dispatches for), an end-to-end block sweep, and the full
+    # FB solve A/B.
+    if want("blur5_matmul"):
+        from opticalflow_ri_tpu.models.farneback import (
+            _blur_flow_dispatch, farneback_solve, poly_expansion,
+            update_matrices_dispatch,
+        )
+        from opticalflow_ri_tpu.models.farneback import _window_blur_spec
+        from opticalflow_ri_tpu.ops.matmul_filter import blur5_flow_matmul
+
+        side = 2048
+        s1, s2, ut, vt = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        zl = jnp.zeros((side, side), jnp.float32)
+
+        taps_np, mode, scale = _window_blur_spec(33, True)
+        taps = tuple(float(w) for w in taps_np)
+
+        signal.alarm(2400)
+
+        @jax.jit
+        def build_m(a, b, z):
+            ra = poly_expansion(a, 7, 1.5)
+            rb = poly_expansion(b, 7, 1.5)
+            return update_matrices_dispatch(z, z, ra, rb, impl="pallas")
+
+        m = jax.block_until_ready(build_m(s1, s2, zl))
+
+        banded = jax.jit(lambda m: _blur_flow_dispatch(m, 33, True,
+                                                       impl="pallas"))
+        fxr, fyr = banded(m)
+        best = (None, None)
+        for blk in (64, 128, 256):
+            mm = jax.jit(lambda m, blk=blk: blur5_flow_matmul(
+                m, taps, mode, scale, block=blk))
+            fx, fy = mm(m)
+            diff = float(jnp.max(jnp.maximum(jnp.abs(fx - fxr),
+                                             jnp.abs(fy - fyr))))
+            t, _ = marginal(mm, (m,), chain=8)
+            emit(f"blur5_matmul_b{blk}", marginal_ms=t * 1e3,
+                 max_abs_diff=diff)
+            if best[0] is None or t < best[0]:
+                best = (t, blk)
+        t_banded, _ = marginal(banded, (m,), chain=8)
+        mm_best = jax.jit(lambda m, blk=best[1]: blur5_flow_matmul(
+            m, taps, mode, scale, block=blk))
+        fx, fy = mm_best(m)
+        diff = float(jnp.max(jnp.maximum(jnp.abs(fx - fxr),
+                                         jnp.abs(fy - fyr))))
+        emit("blur5_matmul_compiled", max_abs_diff=diff, block=best[1])
+        emit("blur5_matmul", marginal_ms=best[0] * 1e3,
+             banded_marginal_ms=t_banded * 1e3,
+             speedup_vs_banded=t_banded / best[0], block=best[1])
+
+        # full-solve A/B (fresh traces; registry patch for the mm path is
+        # not needed — impl="pallas_mmblur" pins it)
+        signal.alarm(2400)
+        fb_d = jax.jit(lambda a, b: farneback_solve.__wrapped__(
+            a, b, zl, zl, impl="pallas"))
+        f_d = fb_d(s1, s2)
+        fb_m = jax.jit(lambda a, b: farneback_solve.__wrapped__(
+            a, b, zl, zl, impl="pallas_mmblur"))
+        f_m = fb_m(s1, s2)
+        diff = (float(jnp.max(jnp.abs(f_m[0] - f_d[0])))
+                + float(jnp.max(jnp.abs(f_m[1] - f_d[1]))))
+        signal.alarm(1200)
+        m_d, _ = marginal(fb_d, (s1, s2), chain=4)
+        m_m, _ = marginal(fb_m, (s1, s2), chain=4)
+        emit("blur5_matmul_fb_solve", marginal_ms=m_m * 1e3,
+             default_marginal_ms=m_d * 1e3, speedup=m_d / m_m,
+             max_abs_diff=diff,
+             mpix_per_s=side * side / m_m / 1e6)
+
+    # ---------------- polynomial expansion on the MXU ---------------------
+    if want("poly_matmul"):
+        from opticalflow_ri_tpu.models.farneback import poly_expansion
+
+        side = 2048
+        s1, s2, _, _ = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+
+        signal.alarm(2400)
+        pv = jax.jit(lambda a: poly_expansion(a, 7, 1.5, impl="vpu"))
+        pm = jax.jit(lambda a: poly_expansion(a, 7, 1.5, impl="matmul"))
+        rv = pv(s1)
+        rm = pm(s1)
+        diff = float(jnp.max(jnp.abs(rm - rv)))
+        scale_ref = float(jnp.max(jnp.abs(rv)))
+        emit("poly_matmul_compiled", max_abs_diff=diff, ref_max=scale_ref)
+        signal.alarm(900)
+        m_v, _ = marginal(pv, (s1,), chain=8)
+        m_m, _ = marginal(pm, (s1,), chain=8)
+        emit("poly_matmul", marginal_ms=m_m * 1e3, vpu_marginal_ms=m_v * 1e3,
+             speedup_vs_vpu=m_v / m_m)
+
     # End-to-end config timings live in scripts/e2e_check.py: the dispatch is
     # resolved at trace time, and the inner solver jits cache their traces, so
     # a meaningful XLA-vs-Pallas e2e comparison needs one fresh process per
