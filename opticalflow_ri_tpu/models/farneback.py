@@ -278,6 +278,8 @@ def _um_impl(shape, sample_max_shift=5) -> str:
             shape, sample_max_shift):
         return "pallas"
     if update_matrices_channel_supports_pallas(shape, sample_max_shift):
+        if is_validated("um_channel_sparse2d"):
+            return "pallas_channel_sparse2d"
         if is_validated("um_channel_sparse"):
             return "pallas_channel_sparse"
         if is_validated("um_channel"):
@@ -309,7 +311,9 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
         elif not update_matrices_supports_pallas(r0.shape, sample_max_shift):
             if update_matrices_channel_supports_pallas(r0.shape,
                                                        sample_max_shift):
-                if is_validated("um_channel_sparse"):
+                if is_validated("um_channel_sparse2d"):
+                    impl = "pallas_channel_sparse2d"
+                elif is_validated("um_channel_sparse"):
                     impl = "pallas_channel_sparse"
                 elif is_validated("um_channel"):
                     impl = "pallas_channel"
@@ -330,14 +334,16 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
         from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_pallas
 
         return update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift)
-    if impl in ("pallas_channel", "pallas_channel_sparse"):
+    if impl in ("pallas_channel", "pallas_channel_sparse",
+                "pallas_channel_sparse2d"):
         from opticalflow_ri_tpu.ops.pallas.tent_sample import (
             update_matrices_channel_pallas,
         )
 
+        sparse = {"pallas_channel": False, "pallas_channel_sparse": True,
+                  "pallas_channel_sparse2d": "2d"}[impl]
         return update_matrices_channel_pallas(
-            flowx, flowy, r0, r1, sample_max_shift,
-            sparse=(impl == "pallas_channel_sparse"))
+            flowx, flowy, r0, r1, sample_max_shift, sparse=sparse)
     return update_matrices(flowx, flowy, r0, r1, sample_max_shift)
 
 

@@ -428,6 +428,64 @@ def _tent_sample_channel_sparse_kernel(r1p_ref, fx_ref, fy_ref, s_out,
     s_out[0] = acc_scr[:]
 
 
+def _tent_sample_channel_sparse2d_kernel(r1p_ref, fx_ref, fy_ref, s_out,
+                                         acc_scr, t_scr, *, R: int,
+                                         band: int, cblk: int):
+    """Channel-blocked tent sampling with 2-D (row-band x column-block)
+    shift skipping.  The 1-D sparse kernel's skip granularity is a full-width
+    row band: on calibrated PIV flow whose u-component varies ALONG x (the
+    parabolic profile), a 32x2048 band spans most of the x-tent range and
+    few sx branches skip — measured only 1.35x dense.  Tiling the lane dim
+    at ``cblk`` makes the activity window the local flow range of a
+    (band, cblk) tile, where both components span ~1-2 px and the 121-term
+    contraction drops to ~10-20 terms.
+
+    The lane-dim tile offset is dynamic (program_id) and Mosaic requires
+    128-aligned dynamic lane offsets, so the kernel loads an aligned
+    (band + 2R, cblk + 2R+1 rounded up to lanes) superset and applies the
+    shift as static sub-slices — the same aligned-superset trick as the
+    dense kernel's sublane handling."""
+    i = pl.program_id(1)
+    cb = pl.program_id(2)
+    y0 = i * band
+    x0 = cb * cblk
+    nshift = 2 * R + 1
+    ext = _lane_ext(nshift)
+
+    flowx = fx_ref[:]
+    flowy = fy_ref[:]
+    dxc = jnp.clip(flowx, float(-R), R - 1e-3)
+    dyc = jnp.clip(flowy, float(-R), R - 1e-3)
+
+    # aligned superset: x0 is a cblk multiple (>=128-aligned), width a lane
+    # multiple covering the +nshift-1 shift reach; shifts become static
+    # sub-slices
+    win = r1p_ref[0, pl.ds(y0, band + nshift - 1), pl.ds(x0, cblk + ext)]
+
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(dxc - (sx - R)))
+           for sx in range(nshift)]
+    ax = [jnp.max(wxs[sx]) > 0.0 for sx in range(nshift)]
+    acc_scr[:] = jnp.zeros((band, cblk), jnp.float32)
+    for sy in range(nshift):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dyc - (sy - R)))
+
+        @pl.when(jnp.max(wy) > 0.0)
+        def _sy_body(sy=sy, wy=wy):
+            rows_s = win[sy : sy + band, :]
+            t_scr[:] = jnp.zeros((band, cblk), jnp.float32)
+            for sx in range(nshift):
+                @pl.when(ax[sx])
+                def _sx_body(sx=sx):
+                    t_scr[:] += wxs[sx] * rows_s[:, sx : sx + cblk]
+            acc_scr[:] += wy * t_scr[:]
+    s_out[0] = acc_scr[:]
+
+
+def _lane_ext(nshift: int) -> int:
+    """Lane-dim superset extension: the shift reach rounded up to lanes."""
+    return ((nshift - 1 + 127) // 128) * 128
+
+
 def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
                              interpret: bool = False, sparse: bool = False):
     """Channel-blocked tent sampling from a PRE-PADDED R1 field: ``r1p`` is
@@ -446,13 +504,55 @@ def tent_sample_channel_call(r1p, fxp, fyp, R: int, band: int = 32,
     assert r1p.shape == (5, rp + 2 * R + 1, cp + 2 * R + 1), (
         r1p.shape, rp, cp)
 
+    nshift = 2 * R + 1
+    if sparse == "2d":
+        cblk = 256
+        while cblk > 128 and cp % cblk != 0:
+            cblk //= 2
+        if cp % cblk == 0:
+            # aligned-superset lane pad: the kernel loads (cblk + ext)-wide
+            # windows at cblk-multiple offsets, so the plane must extend to
+            # cp + ext (zero lanes beyond the semantic halo are loaded but
+            # never enter the contraction — shifts reach only +nshift-1)
+            ext = _lane_ext(nshift)
+            r1p2 = jnp.pad(r1p, ((0, 0), (0, 0), (0, ext - nshift)))
+            chan = pl.BlockSpec((1, r1p2.shape[1], r1p2.shape[2]),
+                                lambda c, i, cb: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+            tile2 = pl.BlockSpec((band, cblk), lambda c, i, cb: (i, cb),
+                                 memory_space=pltpu.VMEM)
+            outspec = pl.BlockSpec((1, band, cblk),
+                                   lambda c, i, cb: (c, i, cb),
+                                   memory_space=pltpu.VMEM)
+            return pl.pallas_call(
+                partial(_tent_sample_channel_sparse2d_kernel, R=R, band=band,
+                        cblk=cblk),
+                out_shape=jax.ShapeDtypeStruct((5, rp, cp), jnp.float32),
+                grid=(5, rp // band, cp // cblk),
+                in_specs=[chan, tile2, tile2],
+                out_specs=outspec,
+                scratch_shapes=[pltpu.VMEM((band, cblk), jnp.float32),
+                                pltpu.VMEM((band, cblk), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=112 * 1024 * 1024,
+                ),
+                cost_estimate=pl.CostEstimate(
+                    flops=5 * rp * cp * (nshift * nshift + 3 * nshift) * 2,
+                    bytes_accessed=(r1p2.size + 2 * fxp.size
+                                    + 5 * rp * cp) * 4,
+                    transcendentals=0,
+                ),
+                interpret=interpret,
+            )(r1p2.astype(jnp.float32), fxp.astype(jnp.float32),
+              fyp.astype(jnp.float32))
+        sparse = True  # indivisible lane dim: fall back to the 1-D variant
+
     chan = pl.BlockSpec((1, r1p.shape[1], r1p.shape[2]),
                         lambda c, i: (c, 0, 0), memory_space=pltpu.VMEM)
     band2 = pl.BlockSpec((band, cp), lambda c, i: (i, 0),
                          memory_space=pltpu.VMEM)
     outspec = pl.BlockSpec((1, band, cp), lambda c, i: (c, i, 0),
                            memory_space=pltpu.VMEM)
-    nshift = 2 * R + 1
     if sparse:
         kern = partial(_tent_sample_channel_sparse_kernel, R=R, band=band)
         scratch = [pltpu.VMEM((band, cp), jnp.float32),

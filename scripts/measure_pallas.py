@@ -870,6 +870,73 @@ def main():
              max_abs_diff=diff,
              mpix_per_s=side * side / m_m / 1e6)
 
+    # ---------------- 2-D (band x col-block) sparse channel um ------------
+    # The 1-D sparse kernel skips per full-width row band: u varying along x
+    # keeps most sx branches active (1.35x).  2-D tiles make the activity
+    # window the tile-local flow range (~10-20 of 121 terms on calibrated
+    # flow).  First dynamic LANE-dim ds in the codebase (128-aligned).
+    if want("um_channel_sparse2d"):
+        import opticalflow_ri_tpu.ops.pallas.validated as _val
+        from opticalflow_ri_tpu.models.farneback import (
+            farneback_solve, poly_expansion,
+        )
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_pallas,
+        )
+
+        side = 2048
+        s1, s2, ut, vt = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        zl = jnp.zeros((side, side), jnp.float32)
+
+        signal.alarm(2400)
+        ra = jax.block_until_ready(poly_expansion(s1, 7, 1.5))
+        rb = jax.block_until_ready(poly_expansion(s2, 7, 1.5))
+        fxv = jnp.asarray(ut, jnp.float32)
+        fyv = jnp.asarray(vt, jnp.float32)
+        ch_d = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5)
+        ch_s = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5,
+                                                          sparse=True)
+        ch_2 = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5,
+                                                          sparse="2d")
+        md = ch_d(fxv, fyv)
+        m2 = ch_2(fxv, fyv)
+        diff = float(jnp.max(jnp.abs(m2 - md)))
+        emit("um_channel_sparse2d_compiled", max_abs_diff=diff)
+        signal.alarm(900)
+        m_d, _ = marginal(ch_d, (fxv, fyv), chain=4)
+        m_s, _ = marginal(ch_s, (fxv, fyv), chain=4)
+        m_2, _ = marginal(ch_2, (fxv, fyv), chain=4)
+        emit("um_channel_sparse2d_static", sparse2d_ms=m_2 * 1e3,
+             sparse1d_ms=m_s * 1e3, dense_ms=m_d * 1e3,
+             speedup_vs_sparse1d=m_s / m_2)
+
+        fb_raw = farneback_solve.__wrapped__
+        signal.alarm(2400)
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+        f_d = fb_d(s1, s2)
+        _val.VALIDATED_KERNELS = dict(
+            _val.VALIDATED_KERNELS,
+            um_channel_sparse2d=("um_channel_sparse2d_compiled",
+                                 "um_channel_sparse2d_fb_solve"))
+        try:
+            fb_2 = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+            f_2 = fb_2(s1, s2)
+        finally:
+            _val.VALIDATED_KERNELS = {
+                k: v for k, v in _val.VALIDATED_KERNELS.items()
+                if k != "um_channel_sparse2d"}
+        diff = (float(jnp.max(jnp.abs(f_2[0] - f_d[0])))
+                + float(jnp.max(jnp.abs(f_2[1] - f_d[1]))))
+        signal.alarm(1200)
+        m_d, _ = marginal(fb_d, (s1, s2), chain=4)
+        m_2, _ = marginal(fb_2, (s1, s2), chain=4)
+        emit("um_channel_sparse2d_fb_solve", marginal_ms=m_2 * 1e3,
+             default_marginal_ms=m_d * 1e3, speedup=m_d / m_2,
+             max_abs_diff=diff,
+             mpix_per_s=side * side / m_2 / 1e6)
+
     # ---------------- polynomial expansion on the MXU ---------------------
     if want("poly_matmul"):
         from opticalflow_ri_tpu.models.farneback import poly_expansion

@@ -155,11 +155,36 @@ def test_farneback_update_matrices_channel_sparse_interpret():
     ]
     for fx, fy in flows:
         m_c = update_matrices_channel_pallas(fx, fy, ra, rb, interpret=True)
-        m_s = update_matrices_channel_pallas(fx, fy, ra, rb, interpret=True,
-                                             sparse=True)
-        scale = float(jnp.max(jnp.abs(m_c)))
-        np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_c),
-                                   atol=2e-5 * scale, rtol=1e-3)
+        for sp in (True, "2d"):
+            m_s = update_matrices_channel_pallas(fx, fy, ra, rb,
+                                                 interpret=True, sparse=sp)
+            scale = float(jnp.max(jnp.abs(m_c)))
+            np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_c),
+                                       atol=2e-5 * scale, rtol=1e-3)
+
+
+def test_farneback_update_matrices_channel_sparse2d_multiblock_interpret():
+    """The 2-D tiled sparse sampler across multiple 256-wide column blocks
+    (the lane-superset static-sub-slice path) matches the XLA contraction."""
+    from opticalflow_ri_tpu.models.farneback import poly_expansion, update_matrices
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_channel_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    im1 = jnp.asarray(rng.uniform(0, 255, (32, 512)).astype(np.float32))
+    im2 = jnp.asarray(rng.uniform(0, 255, (32, 512)).astype(np.float32))
+    ra = poly_expansion(im1, 7, 1.5)
+    rb = poly_expansion(im2, 7, 1.5)
+    ys, xs = np.mgrid[0:32, 0:512].astype(np.float32)
+    fx = jnp.asarray(3.5 * (1 - (2 * xs / 512 - 1) ** 2) - 1.0)
+    fy = jnp.asarray(2.0 * (2 * ys / 32 - 1))
+    ref = update_matrices(fx, fy, ra, rb)
+    got = update_matrices_channel_pallas(fx, fy, ra, rb, interpret=True,
+                                         sparse="2d")
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5 * scale, rtol=1e-3)
 
 
 def test_lk_gn_pallas_matches_xla_interpret(monkeypatch):
@@ -640,6 +665,7 @@ def test_default_dispatch_paths_all_validated(monkeypatch):
         ("um", "pallas_channel"): "um_channel",
         ("um", "pallas_sparse"): "um_sparse",
         ("um", "pallas_channel_sparse"): "um_channel_sparse",
+        ("um", "pallas_channel_sparse2d"): "um_channel_sparse2d",
     }
     shapes = [(256, 256), (512, 512), (1024, 1024), (2048, 2048), (500, 700)]
     for shape in shapes:
