@@ -391,12 +391,20 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
             blur5_flow_pallas, blur5_flow_supports_pallas,
         )
 
+        # MXU banded-matmul path (ops/matmul_filter.py): preferred from
+        # 1024^2 up — 1.7x the whole-VMEM kernel at 1024^2 (blur 0.58 ->
+        # 0.34 ms, full solve 8.38 -> 6.50, scripts/fb_mm_1024_probe.json)
+        # and 11.9x the banded DMA-slab kernel at 2048^2
+        # (pallas_ab_results.json:blur5_matmul_*).  At 512^2 the whole-VMEM
+        # kernel stays ahead (0.109 vs 0.125 ms).
+        big = m.shape[-2] * m.shape[-1] >= 1024 * 1024
+        if (big and is_validated("blur5_matmul")
+                and matmul_supports(m.shape, len(k))):
+            return blur5_flow_matmul(m, taps, mode, scale)
         if blur5_flow_supports_pallas(m.shape, len(k)):
             return blur5_flow_pallas(m, taps, mode, scale)
-        # beyond whole-M VMEM residency: the MXU banded-matmul path (see
-        # ops/matmul_filter.py; hardware A/B in
-        # pallas_ab_results.json:blur5_matmul_*) when validated, else the
-        # banded DMA-slab kernel (bit-identical to the whole kernel;
+        # beyond whole-M VMEM residency (indivisible shapes): matmul, then
+        # the banded DMA-slab kernel (bit-identical to the whole kernel;
         # 2048^2 hardware A/B in pallas_ab_results.json:blur5_banded_*)
         if is_validated("blur5_matmul") and matmul_supports(m.shape, len(k)):
             return blur5_flow_matmul(m, taps, mode, scale)
