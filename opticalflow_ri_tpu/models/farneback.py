@@ -268,13 +268,16 @@ def _um_impl(shape, sample_max_shift=5) -> str:
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.tent_sample import (
         update_matrices_channel_supports_pallas,
+        update_matrices_dense_supports_pallas,
         update_matrices_supports_pallas,
     )
 
     if is_validated("um_sparse") and update_matrices_supports_pallas(
             shape, sample_max_shift):
         return "pallas_sparse"
-    if is_validated("um") and update_matrices_supports_pallas(
+    # the dense whole-field kernel's envelope is tighter than the sparse
+    # one's (value-carried accumulators OOM the VMEM stack at 2048^2)
+    if is_validated("um") and update_matrices_dense_supports_pallas(
             shape, sample_max_shift):
         return "pallas"
     if update_matrices_channel_supports_pallas(shape, sample_max_shift):
@@ -305,10 +308,15 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
         )
         from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_dense_supports_pallas,
+        )
+
         if (is_validated("um_sparse") and update_matrices_supports_pallas(
                 r0.shape, sample_max_shift)):
             impl = "pallas_sparse"
-        elif not update_matrices_supports_pallas(r0.shape, sample_max_shift):
+        elif not update_matrices_dense_supports_pallas(r0.shape,
+                                                       sample_max_shift):
             if update_matrices_channel_supports_pallas(r0.shape,
                                                        sample_max_shift):
                 if is_validated("um_channel_sparse2d"):
@@ -322,7 +330,22 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
             else:
                 impl = "xla"
     elif impl == "pallas_dense":
-        impl = "pallas"
+        # the dense whole-field kernel has a tighter VMEM envelope than the
+        # sparse one (value-carried accumulators; see
+        # update_matrices_dense_supports_pallas) — beyond it, the pin falls
+        # to the dense CHANNEL kernel rather than a compile-time OOM
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_supports_pallas,
+            update_matrices_dense_supports_pallas,
+        )
+
+        if update_matrices_dense_supports_pallas(r0.shape, sample_max_shift):
+            impl = "pallas"
+        elif update_matrices_channel_supports_pallas(r0.shape,
+                                                     sample_max_shift):
+            impl = "pallas_channel"
+        else:
+            impl = "xla"
     if impl == "pallas_sparse":
         from opticalflow_ri_tpu.ops.pallas.tent_sample import (
             update_matrices_sparse_pallas,
@@ -376,6 +399,10 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
 
     k, mode, scale = _window_blur_spec(window_size, use_gaussian)
     taps = tuple(float(w) for w in k)
+
+    if impl in ("pallas_sparse", "pallas_dense", "pallas_channel",
+                "pallas_channel_sparse", "pallas_channel_sparse2d"):
+        impl = "pallas"  # um-kernel pins only affect the um dispatch
 
     if impl == "pallas_mmblur":
         # forced MXU banded-matmul blur (A/B pin)

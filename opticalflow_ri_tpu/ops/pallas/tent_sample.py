@@ -222,7 +222,8 @@ def _update_matrices_sparse_kernel(r1p_ref, r0_ref, fx_ref, fy_ref, m_ref,
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
 def update_matrices_sparse_pallas(flowx, flowy, r0, r1,
                                   sample_max_shift: int = 5,
-                                  band: int = 32, interpret: bool = False):
+                                  band: int | None = None,
+                                  interpret: bool = False):
     """Drop-in for update_matrices_pallas with data-dependent shift skipping
     (see _update_matrices_sparse_kernel).  Registry-gated as 'um_sparse' —
     stays out of default dispatch until its hardware A/B stages are
@@ -231,6 +232,8 @@ def update_matrices_sparse_pallas(flowx, flowy, r0, r1,
     _, rows, cols = r0.shape
     ph, pw = _align2(rows, cols)
     rp, cp = rows + ph, cols + pw
+    if band is None:
+        band = _um_whole_band(5 * (rp + 2 * R + 1) * (cp + 2 * R + 1) * 4)
     while band > 8 and rp % band != 0:
         band //= 2
     band = min(band, rp)
@@ -277,6 +280,33 @@ def _align2(h: int, w: int):
     return (-h) % 8, (-w) % 128
 
 
+def _um_whole_band(r1p_bytes: int) -> int:
+    """Row band for the whole-field kernels: 32 in the small-residency
+    regime (hardware-probed through 1024^2), 16 beyond it — the band=16
+    working set (double-buffered outputs + r0/flow bands + 2 scratch,
+    ~1.5 MB at 2048^2) is what left room for the 89.8 MB whole-R1 stack
+    inside the 100 MB scoped-VMEM limit (scripts/um_whole_2048_probe.json,
+    round 5: compiled and ran, 2.03x the channel-sparse kernel)."""
+    return 32 if r1p_bytes <= 48 * 1024 * 1024 else 16
+
+
+def update_matrices_dense_supports_pallas(shape, sample_max_shift) -> bool:
+    """Envelope of the DENSE whole-field kernel: its accumulators are
+    carried as values through the unrolled contraction (not scratch refs),
+    so the compiler charges the live temporaries on the VMEM stack — at
+    2048^2 band 16 it OOMs at 125.9 MB of 100 where the sparse kernel
+    (scratch-ref accumulators) fits.  The hardware-probed dense envelope
+    stays at the 48 MB whole-R1 cap (1024^2)."""
+    rows, cols = shape[-2], shape[-1]
+    if sample_max_shift is None:
+        return False
+    ph, pw = _align2(rows, cols)
+    r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
+        cols + pw + 2 * sample_max_shift + 1
+    ) * 4
+    return r1p_bytes <= 48 * 1024 * 1024
+
+
 def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
     """Banded kernel needs R1 whole in VMEM plus a band working set
     (arbitrary shapes are tile-aligned by zero-pad + crop in the wrapper)."""
@@ -287,19 +317,24 @@ def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
     r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
         cols + pw + 2 * sample_max_shift + 1
     ) * 4
-    # 48 MB admits 1024^2 (21.8 MB whole-R1 residency; hardware-probed,
-    # scripts/fb_size_probe.json); 2048^2 (86 MB) stays on the XLA path.
-    return r1p_bytes <= 48 * 1024 * 1024
+    # Envelope calibrated against the scoped-VMEM model + hardware probes:
+    # 21.8 MB (1024^2, band 32, fb_size_probe.json) and 89.8 MB (2048^2,
+    # band 16, um_whole_2048_probe.json) both compile and run; the band-16
+    # working set keeps the model under the 100 MB limit up to ~92 MB of
+    # whole-R1 residency.
+    return r1p_bytes <= 92 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
 def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 5,
-                           band: int = 32, interpret: bool = False):
+                           band: int | None = None, interpret: bool = False):
     """Drop-in replacement for models.farneback.update_matrices (dense path)."""
     R = int(sample_max_shift)
     _, rows, cols = r0.shape
     ph, pw = _align2(rows, cols)
     rp, cp = rows + ph, cols + pw
+    if band is None:
+        band = _um_whole_band(5 * (rp + 2 * R + 1) * (cp + 2 * R + 1) * 4)
     while band > 8 and rp % band != 0:
         band //= 2
     band = min(band, rp)

@@ -28,6 +28,11 @@ VALIDATED_KERNELS = {
     # @512^2, bit-identical flows — the in-solve flow sequence skips most
     # of the 121-term contraction).  Dispatch prefers it over "um" inside
     # whole-solve traces; pin impl="pallas_dense" for static-flow callers.
+    # Round 5 extended its residency envelope to 2048^2 (89.8 MB whole-R1
+    # at band 16 fits the 100 MB scoped limit): um_sparse_2048_* stages —
+    # 1.88x the channel-sparse kernel, full FB solve 22.7 -> 15.3 ms
+    # (273 Mpix/s), parity 0.0/2.4e-6.  The DENSE whole kernel keeps the
+    # 48 MB cap (value-carried accumulators OOM at 125.9 MB of 100 there).
     "um_sparse": ("um_sparse_compiled", "um_sparse_fb_solve"),
     # Farneback channel-blocked updateMatrices sampler for fields beyond
     # all-channel VMEM residency (19x vs XLA at 2048^2, flow parity 3.2e-6)

@@ -937,6 +937,74 @@ def main():
              max_abs_diff=diff,
              mpix_per_s=side * side / m_2 / 1e6)
 
+    # ---------------- whole-field sparse um at 2048^2 ---------------------
+    # Round 5: the 48 MB whole-R1 residency cap was conservative — the
+    # 89.8 MB 2048^2 stack compiles at band 16 inside the 100 MB scoped
+    # limit, and the whole-field kernel shares tent-weight planes across
+    # the 5 channels that the channel-blocked kernel recomputes.
+    if want("um_whole_2048"):
+        from opticalflow_ri_tpu.models.farneback import (
+            farneback_solve, poly_expansion,
+        )
+        from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+            update_matrices_channel_pallas, update_matrices_pallas,
+            update_matrices_sparse_pallas,
+        )
+
+        side = 2048
+        s1, s2, ut, vt = particle_image_pair(shape=(side, side), seed=0)
+        s1 = jnp.asarray(s1, jnp.float32)
+        s2 = jnp.asarray(s2, jnp.float32)
+        zl = jnp.zeros((side, side), jnp.float32)
+
+        signal.alarm(2400)
+        ra = jax.block_until_ready(poly_expansion(s1, 7, 1.5))
+        rb = jax.block_until_ready(poly_expansion(s2, 7, 1.5))
+        fxv = jnp.asarray(ut, jnp.float32)
+        fyv = jnp.asarray(vt, jnp.float32)
+        ch_s = lambda a, b: update_matrices_channel_pallas(a, b, ra, rb, 5,
+                                                          sparse=True)
+        wh_s = lambda a, b: update_matrices_sparse_pallas(a, b, ra, rb, 5)
+        mc = ch_s(fxv, fyv)
+        mw = wh_s(fxv, fyv)
+        # The DENSE whole kernel OOMs the VMEM stack here (125.9 MB of 100:
+        # value-carried accumulators vs the sparse kernel's scratch refs) —
+        # recorded as envelope evidence, dispatch routes it to the channel
+        # kernel beyond update_matrices_dense_supports_pallas.
+        try:
+            wh_d = lambda a, b: update_matrices_pallas(a, b, ra, rb, 5)
+            md = wh_d(fxv, fyv)
+            dense_note = float(jnp.max(jnp.abs(mw - md)))
+        except Exception as e:  # compile-time scoped-VMEM OOM
+            dense_note = f"dense whole OOM: {repr(e)[:160]}"
+        emit("um_sparse_2048_compiled",
+             max_abs_diff=float(jnp.max(jnp.abs(mw - mc))),
+             dense_whole=str(dense_note))
+        signal.alarm(900)
+        m_c, _ = marginal(ch_s, (fxv, fyv), chain=4)
+        m_w, _ = marginal(wh_s, (fxv, fyv), chain=4)
+        emit("um_sparse_2048", marginal_ms=m_w * 1e3,
+             channel_sparse_ms=m_c * 1e3,
+             speedup_vs_channel_sparse=m_c / m_w)
+
+        # full-solve A/B: the extended envelope routes 2048^2 through the
+        # whole-field sparse kernel; pin the channel path for the baseline
+        signal.alarm(2400)
+        fb_raw = farneback_solve.__wrapped__
+        fb_n = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+        fb_c = jax.jit(lambda a, b: fb_raw(a, b, zl, zl,
+                                           impl="pallas_channel_sparse"))
+        f_n = fb_n(s1, s2)
+        f_c = fb_c(s1, s2)
+        diff = (float(jnp.max(jnp.abs(f_n[0] - f_c[0])))
+                + float(jnp.max(jnp.abs(f_n[1] - f_c[1]))))
+        signal.alarm(1200)
+        m_n, _ = marginal(fb_n, (s1, s2), chain=4)
+        m_c, _ = marginal(fb_c, (s1, s2), chain=4)
+        emit("um_sparse_2048_fb_solve", marginal_ms=m_n * 1e3,
+             channel_sparse_marginal_ms=m_c * 1e3, speedup=m_c / m_n,
+             max_abs_diff=diff, mpix_per_s=side * side / m_n / 1e6)
+
     # ---------------- polynomial expansion on the MXU ---------------------
     if want("poly_matmul"):
         from opticalflow_ri_tpu.models.farneback import poly_expansion

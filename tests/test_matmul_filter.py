@@ -91,11 +91,26 @@ def test_dispatch_prefers_matmul_beyond_vmem_when_validated(monkeypatch):
 
     monkeypatch.setattr(fbm, "blur5_flow_matmul", spy, raising=False)
     monkeypatch.setattr(mf, "blur5_flow_matmul", spy)
+    def kernel_spy(m, taps, mode, scale):
+        called["kernel"] = True
+        return m[3], m[4]
+
+    import opticalflow_ri_tpu.ops.pallas.blur5_flow as b5
+    monkeypatch.setattr(b5, "blur5_flow_pallas", kernel_spy)
     monkeypatch.setattr(val, "VALIDATED_KERNELS",
                         dict(val.VALIDATED_KERNELS,
                              blur5_matmul=("blur5_matmul_compiled",
                                            "blur5_matmul_2048")))
-    # 2048^2 is beyond whole-M VMEM residency -> matmul preferred
-    m = jnp.zeros((5, 2048, 2048), jnp.float32)
+    # 2048^2 (beyond whole-M VMEM residency) and 1024^2 (matmul measured
+    # 1.7x the whole-VMEM kernel, scripts/fb_mm_1024_probe.json) -> matmul
+    for side in (2048, 1024):
+        called.clear()
+        m = jnp.zeros((5, side, side), jnp.float32)
+        fbm._blur_flow_dispatch(m, 33, True, impl="pallas")
+        assert called.get("hit"), f"{side}^2 dispatch did not route to matmul"
+    # 512^2 stays on the whole-VMEM kernel
+    called.clear()
+    m = jnp.zeros((5, 512, 512), jnp.float32)
     fbm._blur_flow_dispatch(m, 33, True, impl="pallas")
-    assert called.get("hit"), "big-shape dispatch did not route to matmul"
+    assert called.get("kernel") and not called.get("hit"), (
+        "512^2 dispatch should stay on the whole-VMEM kernel")

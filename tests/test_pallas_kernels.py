@@ -327,10 +327,21 @@ def test_pallas_supports_gating_new_kernels():
     from opticalflow_ri_tpu.ops.pallas.tent_sample import update_matrices_supports_pallas
     from opticalflow_ri_tpu.ops.pallas.lk_iter import lk_gn_supports_pallas
 
+    from opticalflow_ri_tpu.ops.pallas.tent_sample import (
+        update_matrices_dense_supports_pallas,
+    )
+
     assert update_matrices_supports_pallas((5, 512, 512), 6)
     assert not update_matrices_supports_pallas((5, 512, 512), None)  # gather path
     assert update_matrices_supports_pallas((5, 515, 512), 6)  # tile-align pad
-    assert not update_matrices_supports_pallas((5, 2048, 2048), 6)  # VMEM budget
+    # round 5: 2048^2 whole-R1 residency (~85-90 MB) is INSIDE the sparse
+    # kernel's probed envelope (band 16, um_whole_2048_probe.json)...
+    assert update_matrices_supports_pallas((5, 2048, 2048), 6)
+    assert not update_matrices_supports_pallas((5, 2560, 2560), 5)  # beyond it
+    # ...but beyond the DENSE whole kernel's (value-carried accumulators
+    # OOM'd the VMEM stack at 125.9 MB of 100 — see the envelope docstring)
+    assert update_matrices_dense_supports_pallas((5, 1024, 1024), 5)
+    assert not update_matrices_dense_supports_pallas((5, 2048, 2048), 5)
 
     assert lk_gn_supports_pallas(512, 512, 6)
     assert lk_gn_supports_pallas(513, 512, 6)   # tile-align pad
