@@ -84,15 +84,12 @@ def poly_expansion(src: jnp.ndarray, n: int, sigma: float,
     scripts/pallas_ab_results.json)."""
     g, xg, xxg, (ig11, ig03, ig33, ig55) = prepare_poly_gaussian(n, float(sigma))
 
-    c1d = correlate1d
+    use_matmul = False
     if impl != "vpu":
-        from opticalflow_ri_tpu.ops.matmul_filter import (
-            matmul_correlate1d, matmul_supports,
-        )
+        from opticalflow_ri_tpu.ops.matmul_filter import matmul_supports
 
         if impl == "matmul":
-            if matmul_supports(src.shape, 2 * n + 1):
-                c1d = matmul_correlate1d
+            use_matmul = matmul_supports(src.shape, 2 * n + 1)
         elif impl == "auto":
             from opticalflow_ri_tpu.ops.pallas import pallas_default_on
             from opticalflow_ri_tpu.ops.pallas.validated import is_validated
@@ -100,21 +97,39 @@ def poly_expansion(src: jnp.ndarray, n: int, sigma: float,
             # size floor: the MXU win is proven for the large-field class
             # (poly_matmul A/B at 2048^2); small pyramid levels stay on the
             # fused VPU chain
-            if (pallas_default_on() and is_validated("poly_matmul")
-                    and src.shape[-2] * src.shape[-1] >= 2048 * 2048
-                    and matmul_supports(src.shape, 2 * n + 1)):
-                c1d = matmul_correlate1d
+            use_matmul = (
+                pallas_default_on() and is_validated("poly_matmul")
+                and src.shape[-2] * src.shape[-1] >= 2048 * 2048
+                and matmul_supports(src.shape, 2 * n + 1)
+            )
 
-    ve = c1d(src, g, axis=-2, mode="nearest")
-    vo = c1d(src, xg, axis=-2, mode="nearest")
-    vx2 = c1d(src, xxg, axis=-2, mode="nearest")
+    if use_matmul:
+        # stacked Toeplitz blocks: each input block is loaded once and
+        # contracted against all kernels — 4 passes over HBM instead of 9
+        from opticalflow_ri_tpu.ops.matmul_filter import (
+            matmul_correlate1d, matmul_correlate1d_multi,
+        )
 
-    b1 = c1d(ve, g, axis=-1, mode="nearest")
-    b2 = c1d(ve, xg, axis=-1, mode="nearest")
-    b4 = c1d(ve, xxg, axis=-1, mode="nearest")
-    b3 = c1d(vo, g, axis=-1, mode="nearest")
-    b6 = c1d(vo, xg, axis=-1, mode="nearest")
-    b5 = c1d(vx2, g, axis=-1, mode="nearest")
+        v = matmul_correlate1d_multi(src, (g, xg, xxg), axis=-2,
+                                     mode="nearest")
+        ve, vo, vx2 = v[0], v[1], v[2]
+        be = matmul_correlate1d_multi(ve, (g, xg, xxg), axis=-1,
+                                      mode="nearest")
+        b1, b2, b4 = be[0], be[1], be[2]
+        bo = matmul_correlate1d_multi(vo, (g, xg), axis=-1, mode="nearest")
+        b3, b6 = bo[0], bo[1]
+        b5 = matmul_correlate1d(vx2, g, axis=-1, mode="nearest")
+    else:
+        ve = correlate1d(src, g, axis=-2, mode="nearest")
+        vo = correlate1d(src, xg, axis=-2, mode="nearest")
+        vx2 = correlate1d(src, xxg, axis=-2, mode="nearest")
+
+        b1 = correlate1d(ve, g, axis=-1, mode="nearest")
+        b2 = correlate1d(ve, xg, axis=-1, mode="nearest")
+        b4 = correlate1d(ve, xxg, axis=-1, mode="nearest")
+        b3 = correlate1d(vo, g, axis=-1, mode="nearest")
+        b6 = correlate1d(vo, xg, axis=-1, mode="nearest")
+        b5 = correlate1d(vx2, g, axis=-1, mode="nearest")
 
     return jnp.stack([
         b3 * ig11,

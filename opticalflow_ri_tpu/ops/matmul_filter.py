@@ -103,6 +103,45 @@ def matmul_correlate1d(x: jnp.ndarray, kernel, axis: int, mode: str,
     return jnp.concatenate(outs, axis=-2)
 
 
+def matmul_correlate1d_multi(x: jnp.ndarray, kernels, axis: int, mode: str,
+                             block: int | None = None):
+    """Correlate ``x`` with SEVERAL same-length kernels in one blocked
+    matmul pass: the Toeplitz blocks stack on a leading axis, so each input
+    block is loaded once and contracted against all kernels — k× the
+    arithmetic intensity of k separate passes over the same (HBM-bound)
+    input.  Returns an array with a new leading kernel axis."""
+    kernels = [tuple(float(w) for w in np.asarray(k, np.float32))
+               for k in kernels]
+    n = len(kernels[0])
+    assert all(len(k) == n for k in kernels)
+    centre = n // 2
+    axis = axis % x.ndim
+    assert axis >= x.ndim - 2
+    size = x.shape[axis]
+    b = pick_block(size, block)
+    assert b is not None, (size, "has no supported block; guard with matmul_supports")
+    T = jnp.asarray(np.stack([_toeplitz_block(k, b) for k in kernels]))
+    nb = size // b
+    prec = jax.lax.Precision.HIGHEST
+
+    if axis == x.ndim - 1:
+        xp = pad2d(x, ((0, 0), (centre, n - 1 - centre)), mode)
+        outs = [
+            jnp.einsum("kab,...hb->k...ha", T,
+                       xp[..., :, i * b : i * b + b + n - 1], precision=prec)
+            for i in range(nb)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    xp = pad2d(x, ((centre, n - 1 - centre), (0, 0)), mode)
+    outs = [
+        jnp.einsum("kab,...bw->k...aw", T,
+                   xp[..., i * b : i * b + b + n - 1, :], precision=prec)
+        for i in range(nb)
+    ]
+    return jnp.concatenate(outs, axis=-2)
+
+
 def blur5_flow_matmul(m: jnp.ndarray, taps, mode: str, scale: float,
                       block: int | None = None):
     """Farneback window-blur of the 5-plane M field + regularised 2x2 flow

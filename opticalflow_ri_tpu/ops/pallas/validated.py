@@ -53,6 +53,12 @@ VALIDATED_KERNELS = {
     # (2.93 -> 0.25 ms, block 256), full FB solve 31.7 -> 23.0 ms
     # (182.6 Mpix/s), flow parity 6.1e-6 (different f32 reduction order)
     "blur5_matmul": ("blur5_matmul_compiled", "blur5_matmul"),
+    # polynomial expansion via stacked Toeplitz matmuls (round 5): each
+    # input block loaded once against all kernels (4 HBM passes vs 9).
+    # 1.27x the VPU chain at 2048^2 (1.55 -> 1.22 ms, parity 6.7e-6);
+    # the earlier per-kernel matmul form measured only 1.07x.  Dispatch
+    # floor 2048^2 — small pyramid levels stay on the fused VPU chain.
+    "poly_matmul": ("poly_matmul_compiled", "poly_matmul"),
     # dense-LK banded Gauss-Newton kernel (2.27x)
     "lk_gn": ("lk_pallas_compiled", "lk_pallas"),
     # dense-LK band-resident ladder shift-plane build (bit-identical,
