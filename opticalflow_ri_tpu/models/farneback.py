@@ -296,8 +296,8 @@ def _um_impl(shape, sample_max_shift=5) -> str:
             shape, sample_max_shift):
         return "pallas"
     if update_matrices_channel_supports_pallas(shape, sample_max_shift):
-        if is_validated("um_channel_sparse2d"):
-            return "pallas_channel_sparse2d"
+        # ("um_channel_sparse2d" is a hardware-proven negative result and
+        # is deliberately absent from this ladder — sparse="2d" pins it)
         if is_validated("um_channel_sparse"):
             return "pallas_channel_sparse"
         if is_validated("um_channel"):
@@ -334,9 +334,7 @@ def update_matrices_dispatch(flowx, flowy, r0, r1, sample_max_shift=5,
                                                        sample_max_shift):
             if update_matrices_channel_supports_pallas(r0.shape,
                                                        sample_max_shift):
-                if is_validated("um_channel_sparse2d"):
-                    impl = "pallas_channel_sparse2d"
-                elif is_validated("um_channel_sparse"):
+                if is_validated("um_channel_sparse"):
                     impl = "pallas_channel_sparse"
                 elif is_validated("um_channel"):
                     impl = "pallas_channel"
@@ -439,17 +437,17 @@ def _blur_flow_dispatch(m, window_size: int, use_gaussian: bool,
         # and 11.9x the banded DMA-slab kernel at 2048^2
         # (pallas_ab_results.json:blur5_matmul_*).  At 512^2 the whole-VMEM
         # kernel stays ahead (0.109 vs 0.125 ms).
+        mm_ok = is_validated("blur5_matmul") and matmul_supports(m.shape,
+                                                                len(k))
         big = m.shape[-2] * m.shape[-1] >= 1024 * 1024
-        if (big and is_validated("blur5_matmul")
-                and matmul_supports(m.shape, len(k))):
+        whole_ok = blur5_flow_supports_pallas(m.shape, len(k))
+        # beyond whole-M VMEM residency: matmul, then the banded DMA-slab
+        # kernel (bit-identical to the whole kernel; 2048^2 hardware A/B in
+        # pallas_ab_results.json:blur5_banded_*)
+        if mm_ok and (big or not whole_ok):
             return blur5_flow_matmul(m, taps, mode, scale)
-        if blur5_flow_supports_pallas(m.shape, len(k)):
+        if whole_ok:
             return blur5_flow_pallas(m, taps, mode, scale)
-        # beyond whole-M VMEM residency (indivisible shapes): matmul, then
-        # the banded DMA-slab kernel (bit-identical to the whole kernel;
-        # 2048^2 hardware A/B in pallas_ab_results.json:blur5_banded_*)
-        if is_validated("blur5_matmul") and matmul_supports(m.shape, len(k)):
-            return blur5_flow_matmul(m, taps, mode, scale)
         if is_validated("blur5_banded") and blur5_flow_banded_supports(
                 m.shape, len(k)):
             return blur5_flow_banded_pallas(m, taps, mode, scale)
@@ -524,13 +522,17 @@ def farneback_solve(im1, im2, u0, v0, window_size=33, n_iters=5, poly_n=7,
             fx = pil_resize(prev[0], (h, w), "bilinear") * jnp.float32(1.0 / pyr_scale)
             fy = pil_resize(prev[1], (h, w), "bilinear") * jnp.float32(1.0 / pyr_scale)
 
+        # an "xla"-pinned solve must stay pure XLA-stencil end to end (A/B
+        # baselines depend on it) — poly's own "auto" would consult only
+        # the backend policy, not this solve's pin
+        poly_impl = "vpu" if impl == "xla" else "auto"
         ra = poly_expansion(
             pil_resize(gaussian_blur(im1, lvl["smooth"], lvl["sigma"]), (h, w), "bilinear"),
-            poly_n, poly_sigma,
+            poly_n, poly_sigma, impl=poly_impl,
         )
         rb = poly_expansion(
             pil_resize(gaussian_blur(im2, lvl["smooth"], lvl["sigma"]), (h, w), "bilinear"),
-            poly_n, poly_sigma,
+            poly_n, poly_sigma, impl=poly_impl,
         )
 
         m = update_matrices_dispatch(fx, fy, ra, rb, impl=impl)

@@ -72,35 +72,9 @@ def matmul_supports(shape, ksize: int) -> bool:
 def matmul_correlate1d(x: jnp.ndarray, kernel, axis: int, mode: str,
                        block: int | None = None) -> jnp.ndarray:
     """``ops.stencil.correlate1d`` semantics (kernel centred at len//2,
-    border per ``mode``) as a blocked Toeplitz matmul on the MXU."""
-    taps = tuple(float(w) for w in np.asarray(kernel, np.float32))
-    n = len(taps)
-    centre = n // 2
-    axis = axis % x.ndim
-    assert axis >= x.ndim - 2
-    size = x.shape[axis]
-    b = pick_block(size, block)
-    assert b is not None, (size, "has no supported block; guard with matmul_supports")
-    T = jnp.asarray(_toeplitz_block(taps, b))
-    nb = size // b
-    prec = jax.lax.Precision.HIGHEST
-
-    if axis == x.ndim - 1:
-        xp = pad2d(x, ((0, 0), (centre, n - 1 - centre)), mode)
-        outs = [
-            jnp.einsum("ab,...hb->...ha", T, xp[..., :, i * b : i * b + b + n - 1],
-                       precision=prec)
-            for i in range(nb)
-        ]
-        return jnp.concatenate(outs, axis=-1)
-
-    xp = pad2d(x, ((centre, n - 1 - centre), (0, 0)), mode)
-    outs = [
-        jnp.einsum("ab,...bw->...aw", T, xp[..., i * b : i * b + b + n - 1, :],
-                   precision=prec)
-        for i in range(nb)
-    ]
-    return jnp.concatenate(outs, axis=-2)
+    border per ``mode``) as a blocked Toeplitz matmul on the MXU — the
+    single-kernel case of :func:`matmul_correlate1d_multi`."""
+    return matmul_correlate1d_multi(x, (kernel,), axis, mode, block)[0]
 
 
 def matmul_correlate1d_multi(x: jnp.ndarray, kernels, axis: int, mode: str,

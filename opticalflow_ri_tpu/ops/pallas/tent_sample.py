@@ -233,7 +233,7 @@ def update_matrices_sparse_pallas(flowx, flowy, r0, r1,
     ph, pw = _align2(rows, cols)
     rp, cp = rows + ph, cols + pw
     if band is None:
-        band = _um_whole_band(5 * (rp + 2 * R + 1) * (cp + 2 * R + 1) * 4)
+        band = _um_whole_band(_um_padded_bytes(r0.shape, R))
     while band > 8 and rp % band != 0:
         band //= 2
     band = min(band, rp)
@@ -290,6 +290,22 @@ def _um_whole_band(r1p_bytes: int) -> int:
     return 32 if r1p_bytes <= 48 * 1024 * 1024 else 16
 
 
+def _um_padded_bytes(shape, sample_max_shift: int) -> int:
+    """TRUE VMEM residency of the whole-R1 stack: the (rows+2R+1, cols+2R+1)
+    semantic halo, the wrapper's (8, 128) tile alignment AND Mosaic's own
+    rounding of the resident buffer to the f32 tile — at 2048^2 the naive
+    cols+2R+1 count is 84.8 MB where the real padded buffer is
+    5*2064*2176*4 = 89.8 MB (the size the compile reports charge)."""
+    rows, cols = shape[-2], shape[-1]
+    R = int(sample_max_shift)
+    ph, pw = _align2(rows, cols)
+    rr = rows + ph + 2 * R + 1
+    cc = cols + pw + 2 * R + 1
+    rr += (-rr) % 8
+    cc += (-cc) % 128
+    return 5 * rr * cc * 4
+
+
 def update_matrices_dense_supports_pallas(shape, sample_max_shift) -> bool:
     """Envelope of the DENSE whole-field kernel: its accumulators are
     carried as values through the unrolled contraction (not scratch refs),
@@ -297,32 +313,23 @@ def update_matrices_dense_supports_pallas(shape, sample_max_shift) -> bool:
     2048^2 band 16 it OOMs at 125.9 MB of 100 where the sparse kernel
     (scratch-ref accumulators) fits.  The hardware-probed dense envelope
     stays at the 48 MB whole-R1 cap (1024^2)."""
-    rows, cols = shape[-2], shape[-1]
     if sample_max_shift is None:
         return False
-    ph, pw = _align2(rows, cols)
-    r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
-        cols + pw + 2 * sample_max_shift + 1
-    ) * 4
-    return r1p_bytes <= 48 * 1024 * 1024
+    return _um_padded_bytes(shape, sample_max_shift) <= 48 * 1024 * 1024
 
 
 def update_matrices_supports_pallas(shape, sample_max_shift) -> bool:
     """Banded kernel needs R1 whole in VMEM plus a band working set
     (arbitrary shapes are tile-aligned by zero-pad + crop in the wrapper)."""
-    rows, cols = shape[-2], shape[-1]
     if sample_max_shift is None:
         return False
-    ph, pw = _align2(rows, cols)
-    r1p_bytes = 5 * (rows + ph + 2 * sample_max_shift + 1) * (
-        cols + pw + 2 * sample_max_shift + 1
-    ) * 4
-    # Envelope calibrated against the scoped-VMEM model + hardware probes:
-    # 21.8 MB (1024^2, band 32, fb_size_probe.json) and 89.8 MB (2048^2,
-    # band 16, um_whole_2048_probe.json) both compile and run; the band-16
-    # working set keeps the model under the 100 MB limit up to ~92 MB of
+    # Envelope calibrated against the scoped-VMEM model + hardware probes
+    # on the TRUE Mosaic-padded residency (_um_padded_bytes): 24 MB
+    # (1024^2, band 32, fb_size_probe.json) and 89.8 MB (2048^2, band 16,
+    # um_whole_2048_probe.json) both compile and run; the band-16 working
+    # set keeps the model under the 100 MB limit up to ~91 MB of padded
     # whole-R1 residency.
-    return r1p_bytes <= 92 * 1024 * 1024
+    return _um_padded_bytes(shape, sample_max_shift) <= 91 * 1024 * 1024
 
 
 @partial(jax.jit, static_argnames=("sample_max_shift", "band", "interpret"))
@@ -334,7 +341,7 @@ def update_matrices_pallas(flowx, flowy, r0, r1, sample_max_shift: int = 5,
     ph, pw = _align2(rows, cols)
     rp, cp = rows + ph, cols + pw
     if band is None:
-        band = _um_whole_band(5 * (rp + 2 * R + 1) * (cp + 2 * R + 1) * 4)
+        band = _um_whole_band(_um_padded_bytes(r0.shape, R))
     while band > 8 and rp % band != 0:
         band //= 2
     band = min(band, rp)

@@ -555,18 +555,12 @@ def main():
 
         fb_raw = farneback_solve.__wrapped__
         signal.alarm(2400)
-        fb_d = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas"))
+        # explicit pins: "um_sparse" is permanently registered now, so a
+        # plain impl="pallas" baseline would self-compare on re-runs
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas_dense"))
         f_d = fb_d(im1, im2)
-        _val.VALIDATED_KERNELS = dict(
-            _val.VALIDATED_KERNELS,
-            um_sparse=("um_sparse_compiled", "um_sparse_calibrated"))
-        try:
-            fb_s = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas"))
-            f_s = fb_s(im1, im2)
-        finally:
-            _val.VALIDATED_KERNELS = {
-                k: v for k, v in _val.VALIDATED_KERNELS.items()
-                if k != "um_sparse"}
+        fb_s = jax.jit(lambda a, b: fb_raw(a, b, z5, z5, impl="pallas"))
+        f_s = fb_s(im1, im2)
         diff = (float(jnp.max(jnp.abs(f_s[0] - f_d[0])))
                 + float(jnp.max(jnp.abs(f_s[1] - f_d[1]))))
         signal.alarm(900)
@@ -613,19 +607,14 @@ def main():
 
         fb_raw = farneback_solve.__wrapped__
         signal.alarm(2400)
-        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+        # explicit channel pins: the whole-field envelope now covers 2048^2,
+        # so a plain impl="pallas" would route BOTH sides to um_sparse
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl,
+                                           impl="pallas_channel"))
         f_d = fb_d(s1, s2)
-        _val.VALIDATED_KERNELS = dict(
-            _val.VALIDATED_KERNELS,
-            um_channel_sparse=("um_channel_sparse_compiled",
-                               "um_channel_sparse_fb_solve"))
-        try:
-            fb_s = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
-            f_s = fb_s(s1, s2)
-        finally:
-            _val.VALIDATED_KERNELS = {
-                k: v for k, v in _val.VALIDATED_KERNELS.items()
-                if k != "um_channel_sparse"}
+        fb_s = jax.jit(lambda a, b: fb_raw(a, b, zl, zl,
+                                           impl="pallas_channel_sparse"))
+        f_s = fb_s(s1, s2)
         diff = (float(jnp.max(jnp.abs(f_s[0] - f_d[0])))
                 + float(jnp.max(jnp.abs(f_s[1] - f_d[1]))))
         signal.alarm(1200)
@@ -653,19 +642,19 @@ def main():
         z = jnp.zeros((side, side), jnp.float32)
         raw = lk_dense_solve.__wrapped__
         signal.alarm(2400)
-        fn_f = jax.jit(lambda a, b: raw(a, b, z, z, impl="pallas_striped")[:2])
-        u_f, v_f = fn_f(s1, s2)
-        _val.VALIDATED_KERNELS = dict(
-            _val.VALIDATED_KERNELS,
-            lk_build_split=("lk_build_split_compiled", "lk_build_split_2048"))
+        # "lk_build_split" is permanently registered now: the BASELINE is
+        # the side that needs a registry patch (remove, trace, restore)
+        _saved = dict(_val.VALIDATED_KERNELS)
+        _val.VALIDATED_KERNELS = {
+            k: v for k, v in _saved.items() if k != "lk_build_split"}
         try:
-            fn_s = jax.jit(
+            fn_f = jax.jit(
                 lambda a, b: raw(a, b, z, z, impl="pallas_striped")[:2])
-            u_s, v_s = fn_s(s1, s2)
+            u_f, v_f = fn_f(s1, s2)
         finally:
-            _val.VALIDATED_KERNELS = {
-                k: v for k, v in _val.VALIDATED_KERNELS.items()
-                if k != "lk_build_split"}
+            _val.VALIDATED_KERNELS = _saved
+        fn_s = jax.jit(lambda a, b: raw(a, b, z, z, impl="pallas_striped")[:2])
+        u_s, v_s = fn_s(s1, s2)
         du = jnp.abs(u_s - u_f)
         dv = jnp.abs(v_s - v_f)
         emit("lk_build_split_compiled",
@@ -825,8 +814,14 @@ def main():
 
         m = jax.block_until_ready(build_m(s1, s2, zl))
 
-        banded = jax.jit(lambda m: _blur_flow_dispatch(m, 33, True,
-                                                       impl="pallas"))
+        # direct banded-kernel baseline: dispatch now prefers the matmul
+        # path at this shape, so impl="pallas" would self-compare
+        from opticalflow_ri_tpu.ops.pallas.blur5_flow import (
+            blur5_flow_banded_pallas,
+        )
+
+        banded = jax.jit(lambda m: blur5_flow_banded_pallas(m, taps, mode,
+                                                            scale))
         fxr, fyr = banded(m)
         best = (None, None)
         for blk in (64, 128, 256):
@@ -914,19 +909,13 @@ def main():
 
         fb_raw = farneback_solve.__wrapped__
         signal.alarm(2400)
-        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
+        # explicit pins (the 2d variant is a registry-inert negative result)
+        fb_d = jax.jit(lambda a, b: fb_raw(a, b, zl, zl,
+                                           impl="pallas_channel_sparse"))
         f_d = fb_d(s1, s2)
-        _val.VALIDATED_KERNELS = dict(
-            _val.VALIDATED_KERNELS,
-            um_channel_sparse2d=("um_channel_sparse2d_compiled",
-                                 "um_channel_sparse2d_fb_solve"))
-        try:
-            fb_2 = jax.jit(lambda a, b: fb_raw(a, b, zl, zl, impl="pallas"))
-            f_2 = fb_2(s1, s2)
-        finally:
-            _val.VALIDATED_KERNELS = {
-                k: v for k, v in _val.VALIDATED_KERNELS.items()
-                if k != "um_channel_sparse2d"}
+        fb_2 = jax.jit(lambda a, b: fb_raw(a, b, zl, zl,
+                                           impl="pallas_channel_sparse2d"))
+        f_2 = fb_2(s1, s2)
         diff = (float(jnp.max(jnp.abs(f_2[0] - f_d[0])))
                 + float(jnp.max(jnp.abs(f_2[1] - f_d[1]))))
         signal.alarm(1200)
