@@ -76,6 +76,29 @@ def test_poly_expansion_matmul_matches_vpu():
                                rtol=1e-5, atol=1e-2)
 
 
+def test_xla_pinned_solve_never_takes_matmul_paths(monkeypatch):
+    """An impl='xla' Farneback solve must stay pure XLA-stencil end to end
+    even at matmul-eligible sizes — hardware A/B baselines depend on the
+    pin (poly_expansion's own 'auto' once leaked the MXU path in)."""
+    import jax
+    import opticalflow_ri_tpu.ops.matmul_filter as mf
+    from opticalflow_ri_tpu.models.farneback import farneback_solve
+    from opticalflow_ri_tpu.ops.pallas import validated as val
+
+    def boom(*a, **k):
+        raise AssertionError("matmul path reached under impl='xla'")
+
+    monkeypatch.setattr(mf, "matmul_correlate1d_multi", boom)
+    # make every registry gate pass so only the impl pin stands in the way
+    monkeypatch.setattr(val, "VALIDATED_KERNELS",
+                        dict(val.VALIDATED_KERNELS,
+                             blur5_matmul=("x", "y"), poly_matmul=("x", "y")))
+    z = jnp.zeros((2048, 2048), jnp.float32)
+    jax.eval_shape(
+        lambda a, b: farneback_solve.__wrapped__(a, b, b * 0, b * 0,
+                                                 impl="xla"), z, z)
+
+
 def test_dispatch_prefers_matmul_beyond_vmem_when_validated(monkeypatch):
     """Once 'blur5_matmul' is registered, the big-shape blur dispatch must
     route to the MXU path (and never silently fall back to banded)."""
