@@ -73,6 +73,12 @@ VALIDATED_KERNELS = {
     # shows the build is base-window-sum-bound, not halo-recompute-bound
     # (plateau evidence: scripts/lk_stripe_sweep.json)
     "lk_build_split": ("lk_build_split_compiled", "lk_build_split_2048"),
+    # driver warp as a sparse tent contraction (round 5): 9.8x XLA on
+    # calibrated flows at 512^2 (0.145 vs 1.41 ms, parity 1.4e-7 rel),
+    # 2.1x on wild |d/2|~7 flows.  The round-4 "kernel loses 2x" verdict
+    # measured against a constant-folded XLA baseline — see
+    # ops/pallas/warp_tent.py HISTORY.
+    "warp_tent_sparse": ("warp_tent_sparse_compiled", "warp_tent_sparse"),
     # Horn-Schunck whole-solve VMEM-resident kernel (2.56x @512^2)
     "hs_whole": ("hs_whole_pallas_compiled", "hs_whole_pallas_512"),
     # Horn-Schunck temporal-blocked tiled kernel (4.45x @2048^2)

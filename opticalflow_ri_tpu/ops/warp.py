@@ -101,11 +101,16 @@ def _warp_impl(shape, max_shift: int) -> str:
     from opticalflow_ri_tpu.ops.pallas import pallas_default_on
     from opticalflow_ri_tpu.ops.pallas.validated import is_validated
 
-    if not pallas_default_on() or not is_validated("warp_tent"):
+    if not pallas_default_on():
+        return "xla"
+    sparse_ok = is_validated("warp_tent_sparse")
+    if not (sparse_ok or is_validated("warp_tent")):
         return "xla"
     from opticalflow_ri_tpu.ops.pallas.warp_tent import warp_tent_supports_pallas
 
-    return "pallas" if warp_tent_supports_pallas(shape, max_shift) else "xla"
+    if not warp_tent_supports_pallas(shape, max_shift):
+        return "xla"
+    return "pallas_sparse" if sparse_ok else "pallas"
 
 
 def symmetric_warp_pair(im1: jnp.ndarray, im2: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
@@ -114,13 +119,15 @@ def symmetric_warp_pair(im1: jnp.ndarray, im2: jnp.ndarray, u: jnp.ndarray, v: j
     (u/2, v/2), im2 forwards — the driver's warping step
     (ref: src/GenericPyramidalOpticalFlow.py:198-201)."""
     if max_shift is not None:
-        if im1.ndim == 2 and _warp_impl(im1.shape, max_shift) == "pallas":
+        impl = _warp_impl(im1.shape, max_shift) if im1.ndim == 2 else "xla"
+        if impl in ("pallas", "pallas_sparse"):
             from opticalflow_ri_tpu.ops.pallas.warp_tent import (
                 warp_pair_tent_pallas,
             )
 
             return warp_pair_tent_pallas(
-                im1, im2, -v / 2.0, -u / 2.0, v / 2.0, u / 2.0, max_shift)
+                im1, im2, -v / 2.0, -u / 2.0, v / 2.0, u / 2.0, max_shift,
+                sparse=(impl == "pallas_sparse"))
         w1 = displacement_warp_tent(im1, -v / 2.0, -u / 2.0, max_shift)
         w2 = displacement_warp_tent(im2, v / 2.0, u / 2.0, max_shift)
         return w1, w2

@@ -926,6 +926,63 @@ def main():
              max_abs_diff=diff,
              mpix_per_s=side * side / m_2 / 1e6)
 
+    # ---------------- sparse warp tent (round 5) --------------------------
+    # The dense warp kernel lost 2x to XLA (warp_tent stages): 17 lane
+    # rotates per band over a single plane.  The um_sparse shift-skipping
+    # treatment removes exactly those rotates on calibrated flows; the wild
+    # stage bounds the regression on large-|d| configs (HS PyrLvls2 bench
+    # flows reach |d/2| ~ 7 of the R=8 envelope).
+    if want("warp_tent_sparse"):
+        from opticalflow_ri_tpu.ops.warp import displacement_warp_tent
+        from opticalflow_ri_tpu.ops.pallas.warp_tent import (
+            warp_pair_tent_pallas,
+        )
+
+        hh, ww = h, w
+        yy = jnp.arange(hh, dtype=jnp.float32)[:, None] * jnp.ones(
+            (1, ww), jnp.float32)
+        xx = jnp.arange(ww, dtype=jnp.float32)[None, :] * jnp.ones(
+            (hh, 1), jnp.float32)
+        # calibrated-like: parabolic <=4 px flow -> half-displacements <=2
+        u_c = 3.5 * (1.0 - (2.0 * xx / ww - 1.0) ** 2)
+        v_c = 2.0 * (2.0 * yy / hh - 1.0)
+        # wild: the bench-grid HS PyrLvls2 regime, |d/2| up to ~7
+        u_w = 14.0 * (1.0 - (2.0 * xx / ww - 1.0) ** 2) - 3.0
+        v_w = 13.0 * (2.0 * yy / hh - 1.0)
+
+        def xla_pair(a, b, u, v):
+            return (displacement_warp_tent(a, -v / 2, -u / 2, 8),
+                    displacement_warp_tent(b, v / 2, u / 2, 8))
+
+        # flows threaded as RUNTIME args: closure-captured fields would be
+        # constant-folded by XLA into fixed weights (the round-4 glue-probe
+        # trap) and make every baseline unrealistically fast
+        fx = jax.jit(lambda a, b, u, v: xla_pair(a, b, u, v))
+        fd = jax.jit(lambda a, b, u, v: warp_pair_tent_pallas(
+            a, b, -v / 2, -u / 2, v / 2, u / 2, 8))
+        fs = jax.jit(lambda a, b, u, v: warp_pair_tent_pallas(
+            a, b, -v / 2, -u / 2, v / 2, u / 2, 8, sparse=True))
+        signal.alarm(2400)
+        for tag, u_f, v_f in (("cal", u_c, v_c), ("wild", u_w, v_w)):
+            u_f = jax.block_until_ready(u_f + 0.0)
+            v_f = jax.block_until_ready(v_f + 0.0)
+            rx = fx(im1, im2, u_f, v_f)
+            rs = fs(im1, im2, u_f, v_f)
+            if tag == "cal":
+                d = max(float(jnp.max(jnp.abs(rs[0] - rx[0]))),
+                        float(jnp.max(jnp.abs(rs[1] - rx[1]))))
+                emit("warp_tent_sparse_compiled", max_abs_diff=d,
+                     ref_scale=float(jnp.max(jnp.abs(rx[0]))))
+            signal.alarm(900)
+            m_x, _ = marginal(fx, (im1, im2, u_f, v_f))
+            m_d, _ = marginal(fd, (im1, im2, u_f, v_f))
+            m_s, _ = marginal(fs, (im1, im2, u_f, v_f))
+            emit("warp_tent_sparse" if tag == "cal"
+                 else "warp_tent_sparse_wild",
+                 marginal_ms=m_s * 1e3, dense_kernel_ms=m_d * 1e3,
+                 xla_ms=m_x * 1e3, speedup_vs_xla=m_x / m_s)
+            signal.alarm(2400)
+
     # ---------------- whole-field sparse um at 2048^2 ---------------------
     # Round 5: the 48 MB whole-R1 residency cap was conservative — the
     # 89.8 MB 2048^2 stack compiles at band 16 inside the 100 MB scoped

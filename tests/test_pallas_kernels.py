@@ -910,12 +910,14 @@ def test_warp_tent_pallas_matches_xla_interpret():
 
     w1r = displacement_warp_tent(im1, -v / 2, -u / 2, 8)
     w2r = displacement_warp_tent(im2, v / 2, u / 2, 8)
-    w1p, w2p = warp_pair_tent_pallas(im1, im2, -v / 2, -u / 2, v / 2, u / 2,
-                                     8, interpret=True)
-    np.testing.assert_allclose(np.asarray(w1p), np.asarray(w1r),
-                               rtol=1e-5, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(w2p), np.asarray(w2r),
-                               rtol=1e-5, atol=1e-3)
+    for sp in (False, True):   # dense and shift-skipping sparse variants
+        w1p, w2p = warp_pair_tent_pallas(im1, im2, -v / 2, -u / 2,
+                                         v / 2, u / 2, 8, interpret=True,
+                                         sparse=sp)
+        np.testing.assert_allclose(np.asarray(w1p), np.asarray(w1r),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(w2p), np.asarray(w2r),
+                                   rtol=1e-5, atol=1e-3)
 
     assert warp_tent_supports_pallas((512, 512), 8)
     assert warp_tent_supports_pallas((2048, 2048), 8)
