@@ -4,9 +4,10 @@ The pyramidal driver's symmetric warp (ref:
 src/GenericPyramidalOpticalFlow.py:198-201 via ops/warp.py) samples each
 image at per-pixel displaced positions; the XLA path expresses it as a
 dense tent-weight contraction over (2R+1)^2 = 289 static shifts (R=8) that
-re-streams the padded image per shift — at 0.60 ms per 512^2 pair it is the
-largest glue item in every pyramidal configuration
-(scripts/pyramid_glue_probe.json).
+re-streams the padded image per shift — at ~1.4 ms per 512^2 pair with
+runtime flows it is the largest glue item in every pyramidal configuration
+(the glue probe's 0.60 ms figure was a constant-folded underestimate; see
+HISTORY below).
 
 This kernel is the single-channel instance of the proven tent_sample
 pattern: the padded image resident in VMEM, output rows banded, sx as the
